@@ -1,0 +1,124 @@
+"""In-graph scalar optimization for temperature selection.
+
+The reference leans on SciPy for every 1-D/2-D temperature search: L-BFGS-B
+for the REPS dual (reference: ppi/algorithms.py:205-212), Brent for the LBPS
+lower bound and the ESSPS ESS match (reference: ppi/algorithms.py:559-564,
+608-613). Those are host-side, sequential, and un-jittable. The TPU-native
+replacement is:
+
+  * ``grid_golden_min`` — evaluate the objective on a log-spaced grid *in one
+    vectorized call* (a single VPU sweep — effectively free next to a rollout
+    batch), bracket the minimum, then polish with fixed-iteration
+    golden-section. Works for any unimodal/quasiconvex objective, which all
+    the PPI duals are in practice.
+  * ``bisect_decreasing`` — fixed-iteration bisection for monotone root
+    finding (the ESS(alpha) match).
+
+Everything uses static iteration counts so the search lives inside the jitted
+update with no host round-trips.
+"""
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+# Same search interval as the reference's temperature bounds
+# (reference: ppi/algorithms.py:36-37).
+ALPHA_LOWER = 1e-5
+ALPHA_UPPER = 5e2
+
+_INV_PHI = 0.6180339887498949  # 1/golden ratio
+
+
+def golden_section_min(
+    fn: Callable, lo, hi, iters: int = 40, log_space: bool = True
+):
+    """Golden-section minimization of a unimodal scalar function on [lo, hi].
+
+    With ``log_space`` the search runs in log-x (natural for temperatures
+    spanning [1e-5, 5e2]). 40 iterations shrink the bracket by ~1e-8x.
+    """
+    tf = jnp.log if log_space else (lambda x: x)
+    itf = jnp.exp if log_space else (lambda x: x)
+    a, b = tf(jnp.asarray(lo, jnp.float32)), tf(jnp.asarray(hi, jnp.float32))
+
+    c = b - _INV_PHI * (b - a)
+    d = a + _INV_PHI * (b - a)
+
+    def body(_, carry):
+        a, b, c, d, fc, fd = carry
+        shrink_right = fc < fd
+        a = jnp.where(shrink_right, a, c)
+        b = jnp.where(shrink_right, d, b)
+        c_new = b - _INV_PHI * (b - a)
+        d_new = a + _INV_PHI * (b - a)
+        # Reuse the surviving interior evaluation; evaluate only the new point.
+        c_val = jnp.where(shrink_right, c_new, d)
+        f_known = jnp.where(shrink_right, fc, fd)
+        f_new = fn(itf(jnp.where(shrink_right, c_new, d_new)))
+        fc = jnp.where(shrink_right, f_new, f_known)
+        fd = jnp.where(shrink_right, f_known, f_new)
+        return a, b, c_new, d_new, fc, fd
+
+    init = (a, b, c, d, fn(itf(c)), fn(itf(d)))
+    a, b, *_ = jax.lax.fori_loop(0, iters, body, init)
+    return itf(0.5 * (a + b))
+
+
+def grid_golden_min(
+    fn: Callable,
+    lo: float = ALPHA_LOWER,
+    hi: float = ALPHA_UPPER,
+    n_grid: int = 64,
+    refine_iters: int = 32,
+    log_space: bool = True,
+):
+    """Global-ish scalar minimization: vectorized grid sweep + local polish.
+
+    ``fn`` must map a scalar (or vector, broadcasting over the last axis) to
+    objective values; the grid evaluation calls it once on an (n_grid,) vector
+    so the sweep is a single fused VPU pass.
+    """
+    if log_space:
+        xs = jnp.logspace(jnp.log10(lo), jnp.log10(hi), n_grid)
+    else:
+        xs = jnp.linspace(lo, hi, n_grid)
+    ys = jax.vmap(fn)(xs)
+    i = jnp.argmin(ys)
+    # Bracket = the two grid cells around the best point.
+    lo_b = xs[jnp.maximum(i - 1, 0)]
+    hi_b = xs[jnp.minimum(i + 1, n_grid - 1)]
+    return golden_section_min(fn, lo_b, hi_b, iters=refine_iters, log_space=log_space)
+
+
+@partial(jax.jit, static_argnames=("fn", "iters", "log_space"))
+def bisect_decreasing(
+    fn: Callable,
+    target,
+    lo: float = ALPHA_LOWER,
+    hi: float = ALPHA_UPPER,
+    iters: int = 50,
+    log_space: bool = True,
+):
+    """Solve fn(x) = target for fn monotonically *decreasing* in x on [lo, hi].
+
+    Used for the ESSPS temperature: ESS(alpha) falls monotonically from N
+    towards 1 as alpha grows. Clamps to the interval if the target is outside
+    the attained range.
+    """
+    tf = jnp.log if log_space else (lambda x: x)
+    itf = jnp.exp if log_space else (lambda x: x)
+    a, b = tf(jnp.asarray(lo, jnp.float32)), tf(jnp.asarray(hi, jnp.float32))
+
+    def body(_, carry):
+        a, b = carry
+        m = 0.5 * (a + b)
+        above = fn(itf(m)) > target  # still above target -> move right
+        a = jnp.where(above, m, a)
+        b = jnp.where(above, b, m)
+        return a, b
+
+    a, b = jax.lax.fori_loop(0, iters, body, (a, b))
+    return itf(0.5 * (a + b))

@@ -1,0 +1,27 @@
+"""Test harness configuration.
+
+Runs the suite on CPU with 8 virtual devices so multi-chip sharding paths can
+be exercised without TPU hardware (SURVEY.md §4e: the TPU-native answer to
+"test multi-node without a cluster").
+
+NOTE: this image pre-imports the axon TPU plugin at interpreter startup, so
+platform selection must go through ``jax.config`` (environment variables are
+read before conftest runs). Set PPI_TPU_TEST_PLATFORM=tpu to run on device.
+"""
+
+import os
+
+import jax
+
+_platform = os.environ.get("PPI_TPU_TEST_PLATFORM", "cpu")
+jax.config.update("jax_platforms", _platform)
+if _platform == "cpu":
+    jax.config.update("jax_num_cpu_devices", 8)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
