@@ -1,0 +1,98 @@
+"""Vector-valued Gaussian policy for episodic optimization.
+
+Counterpart of ``GaussianPolicy`` (reference: ppi/policies.py:234-281) as a
+pure-function family over a pytree state: sampling, the weighted M-projection
+update with a branchless PD guard, entropy and covariance reset are all
+jit-safe, so a full optimizer iteration (sample -> evaluate -> update) is one
+compiled program.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ppi_tpu import ops
+from ppi_tpu.samplers import SamplerKind, draw_base
+
+SIGMA_MIN = 1e-6
+
+
+class GaussianState(struct.PyTreeNode):
+    mu: jax.Array          # (d,)
+    sigma: jax.Array       # (d, d)
+    chol: jax.Array        # (d, d) cholesky of sigma
+    sigma_init: jax.Array  # (d, d)
+    map_sequence: jax.Array  # (d,) best sample seen by elite methods
+
+
+@dataclasses.dataclass(frozen=True)
+class Gaussian:
+    """Family config (static); all numbers live in ``GaussianState``."""
+
+    dim: int
+    sampler: SamplerKind = SamplerKind.MONTE_CARLO
+    diagonal: bool = False  # factorized covariance (CEM convention)
+
+    name = "Gaussian"
+
+    def init(self, mu: jnp.ndarray, sigma: jnp.ndarray) -> GaussianState:
+        chol = jnp.linalg.cholesky(sigma)
+        return GaussianState(
+            mu=mu, sigma=sigma, chol=chol, sigma_init=sigma,
+            map_sequence=mu,
+        )
+
+    def sample(self, state: GaussianState, key: jax.Array, n: int):
+        """Returns (samples, params); params are what weighted_update consumes
+        (identical for the plain Gaussian)."""
+        z = draw_base(self.sampler, key, n, self.dim)
+        samples = state.mu[None, :] + z @ state.chol.T
+        return samples, samples
+
+    def weighted_update(self, state: GaussianState, log_w, params,
+                        update_covariance: bool = True):
+        mu_new, sigma_new, ess = ops.m_projection(log_w, params)
+        if self.diagonal:
+            sigma_new = ops.factorized(sigma_new)
+        if update_covariance:
+            chol_new, ok = ops.safe_cholesky(sigma_new, jitter=0.0)
+            # PD guard (reference: ppi/policies.py:259-268): on failure keep
+            # the previous covariance, regularized — branchless select.
+            sigma_reg = state.sigma + SIGMA_MIN * jnp.eye(self.dim)
+            sigma_sel = jnp.where(ok, sigma_new, sigma_reg)
+            chol_sel = jnp.where(ok, chol_new, jnp.linalg.cholesky(sigma_reg))
+        else:
+            sigma_sel, chol_sel = state.sigma, state.chol
+        kl = ops.multivariate_gaussian_kl(mu_new, sigma_sel, state.mu, state.sigma)
+        new_state = state.replace(mu=mu_new, sigma=sigma_sel, chol=chol_sel)
+        return new_state, ess, kl
+
+    def smooth_update(self, state: GaussianState, mu, sigma, alpha):
+        mu_s = alpha * mu + (1.0 - alpha) * state.mu
+        sigma_s = alpha * sigma + (1.0 - alpha) * state.sigma
+        chol, _ = ops.safe_cholesky(sigma_s, jitter=0.0)
+        return state.replace(mu=mu_s, sigma=sigma_s, chol=chol)
+
+    def entropy(self, state: GaussianState):
+        return ops.multivariate_gaussian_entropy(state.sigma, self.dim)
+
+    def reset_covariance(self, state: GaussianState) -> GaussianState:
+        return state.replace(
+            sigma=state.sigma_init,
+            chol=jnp.linalg.cholesky(state.sigma_init))
+
+    def predict_mean(self, state: GaussianState):
+        return state.mu
+
+    def set_map_sequence(self, state: GaussianState, seq) -> GaussianState:
+        return state.replace(map_sequence=seq)
+
+    # Episodic vector policies have no time axis; these are no-ops kept for
+    # interface uniformity with the matrix-valued families.
+    def compute_prior(self, state, t):
+        return state
+
+    def update_timesteps(self, state, t, anneal=1.0):
+        return state

@@ -1,0 +1,370 @@
+"""Tests for the policy/prior library: sampling statistics, conditioning,
+receding-horizon shifts, and golden checks of the kernel zoo against NumPy
+oracles (SURVEY.md §4 test strategy, items a/b)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ppi_tpu import ops
+from ppi_tpu.policies import make_policy
+from ppi_tpu.policies.gaussian import Gaussian
+from ppi_tpu.policies.kernels import (
+    k_lgds,
+    k_matern32,
+    k_squared_exponential,
+    k_white,
+)
+from ppi_tpu.policies.noise import ema_smooth
+from ppi_tpu.samplers import SamplerKind, cubature_points, draw_base, inject_particles
+
+
+def make_matrix_policy(name, h=20, d_a=2, **kw):
+    t = jnp.linspace(0.0, 1.0, h)
+    kwargs = dict(
+        time_sequence=t,
+        action_dimension=d_a,
+        mean=jnp.zeros(d_a),
+        covariance_in=jnp.array([1.0]),
+        covariance_out=0.1 * jnp.eye(d_a),
+    )
+    kwargs.update(kw)
+    return make_policy(name, **kwargs)
+
+
+class TestSamplers:
+    def test_cubature_points(self):
+        pts = cubature_points(3)
+        assert pts.shape == (6, 3)
+        np.testing.assert_allclose(np.abs(pts).sum(axis=1),
+                                   np.sqrt(3) * np.ones(6), rtol=1e-6)
+
+    def test_draw_base_qmc_structure(self):
+        z = draw_base(SamplerKind.QUASI_MONTE_CARLO, jax.random.key(0), 64, 4)
+        assert z.shape == (64, 4)
+        assert abs(float(z.mean())) < 0.1
+
+    def test_inject_particles(self):
+        s = jnp.zeros((8, 3, 2))
+        p = jnp.ones((4, 3, 2))
+        out = inject_particles(s, p, jnp.asarray(2))
+        assert float(out[:2].sum()) == 2 * 3 * 2
+        assert float(out[2:].sum()) == 0.0
+
+
+class TestGaussian:
+    def test_sample_statistics(self):
+        fam = Gaussian(dim=3)
+        mu = jnp.array([1.0, -2.0, 0.5])
+        sigma = jnp.diag(jnp.array([0.5, 1.0, 2.0]))
+        state = fam.init(mu, sigma)
+        s, _ = fam.sample(state, jax.random.key(0), 20000)
+        np.testing.assert_allclose(np.asarray(s).mean(0), mu, atol=0.05)
+        np.testing.assert_allclose(np.cov(np.asarray(s).T), sigma, atol=0.1)
+
+    def test_weighted_update_moves_mean(self):
+        fam = Gaussian(dim=2)
+        state = fam.init(jnp.zeros(2), jnp.eye(2))
+        samples = jnp.array([[5.0, 5.0], [0.0, 0.0], [-1.0, 2.0]])
+        log_w = jnp.array([0.0, -1e12, -1e12])  # all weight on first sample
+        new, ess, kl = fam.weighted_update(state, log_w, samples)
+        np.testing.assert_allclose(new.mu, samples[0], atol=1e-4)
+        assert float(ess) == pytest.approx(1.0, rel=1e-3)
+        assert float(kl) > 0.0
+
+    def test_pd_guard_reverts(self):
+        fam = Gaussian(dim=2)
+        state = fam.init(jnp.zeros(2), jnp.eye(2))
+        # Two identical samples -> zero covariance -> chol of singular matrix
+        samples = jnp.ones((2, 2))
+        new, ess, _ = fam.weighted_update(state, jnp.zeros(2), samples)
+        assert np.all(np.isfinite(np.asarray(new.sigma)))
+        # either tiny regularized new covariance or reverted previous one
+        assert np.linalg.eigvalsh(np.asarray(new.sigma)).min() > 0
+
+    def test_diagonal_mode(self):
+        fam = Gaussian(dim=3, diagonal=True)
+        state = fam.init(jnp.zeros(3), jnp.eye(3))
+        s = jax.random.normal(jax.random.key(0), (100, 3)) @ jnp.array(
+            [[1.0, 0.9, 0.0], [0.0, 0.1, 0.0], [0.0, 0.0, 1.0]])
+        new, *_ = fam.weighted_update(state, jnp.zeros(100), s)
+        off = np.asarray(new.sigma) - np.diag(np.diag(np.asarray(new.sigma)))
+        np.testing.assert_allclose(off, 0.0, atol=1e-7)
+
+    def test_cubature_sampler_shape(self):
+        fam = Gaussian(dim=4, sampler=SamplerKind.CUBATURE)
+        state = fam.init(jnp.zeros(4), jnp.eye(4))
+        s, _ = fam.sample(state, jax.random.key(0), 8)
+        assert s.shape == (8, 4)
+        # sigma points preserve the mean exactly
+        np.testing.assert_allclose(np.asarray(s).mean(0), 0.0, atol=1e-6)
+
+
+class TestKernelFunctions:
+    t = jnp.linspace(0.0, 1.0, 9)
+
+    def test_se_oracle(self):
+        hyper = jnp.array([2.0, 0.3])
+        k = np.asarray(k_squared_exponential(hyper, self.t, self.t))
+        tn = np.asarray(self.t)
+        expect = 2.0 * np.exp(-0.5 * ((tn[:, None] - tn[None, :]) / 0.3) ** 2)
+        expect += 1e-3 * 2.0 * np.eye(9)
+        np.testing.assert_allclose(k, expect, rtol=1e-5)
+
+    def test_matern32_oracle(self):
+        hyper = jnp.array([1.5, 0.2])
+        k = np.asarray(k_matern32(hyper, self.t, self.t))
+        tn = np.asarray(self.t)
+        ad = np.abs(tn[:, None] - tn[None, :])
+        ad[ad == 0.0] = 1e-8
+        d = np.sqrt(3) * ad / 0.2
+        np.testing.assert_allclose(k, 1.5 * (1 + d) * np.exp(-d), rtol=1e-4)
+
+    def test_white_kernel(self):
+        k = np.asarray(k_white(jnp.array([0.7]), self.t, self.t))
+        np.testing.assert_allclose(k, 0.7 * np.eye(9), atol=1e-7)
+
+    def test_lgds_matches_dense_state_space_oracle(self):
+        """Closed-form LGDS gram vs a brute-force state-space covariance
+        propagation oracle (x_{k+1} = A x_k + w_k, Q on the top derivative)."""
+        for order in (1, 2, 3):
+            n, dt, sigma = 7, 0.1, 0.8
+            t = jnp.arange(n) * dt
+            got = np.asarray(k_lgds(jnp.array([sigma]), t, t, order=order))
+
+            # oracle: propagate joint covariance of the stacked state
+            a = np.eye(order)
+            if order >= 2:
+                a[0, 1] = dt
+            if order == 3:
+                a[0, 2] = 0.5 * dt ** 2
+                a[1, 2] = dt
+            q = np.zeros((order, order))
+            q[-1, -1] = sigma
+            # big transition matrix: X = A_ W with W the stacked noises
+            a_big = np.zeros((n * order, n * order))
+            for r in range(n):
+                for c in range(r + 1):
+                    a_big[r * order:(r + 1) * order, c * order:(c + 1) * order] = (
+                        np.linalg.matrix_power(a, r - c))
+            q_big = np.zeros((n * order, n * order))
+            q_big[:order, :order] = 1e-3 * np.eye(order)
+            for r in range(1, n):
+                q_big[r * order:(r + 1) * order, r * order:(r + 1) * order] = q
+            cov = a_big @ q_big @ a_big.T + 1e-6 * np.eye(n * order)
+            expect = cov[::order, ::order]
+            np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-6,
+                                       err_msg=f"order={order}")
+
+
+class TestKernelPolicies:
+    def test_sample_covariance_structure(self):
+        fam, state = make_matrix_policy("SquaredExponentialKernel", h=10,
+                                        lengthscale=0.2)
+        xs, params = fam.sample(state, jax.random.key(0), 4000)
+        assert xs.shape == (4000, 10, 2)
+        # empirical time-covariance of one action dim ~ 0.1 * K (cov_out=0.1 I)
+        emp = np.cov(np.asarray(xs[:, :, 0]).T)
+        expect = 0.1 * np.asarray(state.cov_in)
+        np.testing.assert_allclose(emp, expect, atol=0.03)
+
+    def test_condition_pins_start(self):
+        fam, state = make_matrix_policy("SquaredExponentialKernel", h=12,
+                                        lengthscale=0.3)
+        a0 = jnp.array([[0.7, -0.4]])
+        state = fam.condition(state, jnp.zeros(1), a0)
+        xs, _ = fam.sample(state, jax.random.key(1), 200)
+        start = np.asarray(xs[:, 0, :])
+        np.testing.assert_allclose(start.mean(0), np.asarray(a0[0]), atol=0.05)
+        assert start.std(0).max() < 0.1  # pinned
+
+    def test_update_timesteps_noop_when_matching(self):
+        fam, state = make_matrix_policy("SquaredExponentialKernel", h=8)
+        state = fam.compute_prior(state, state.t)
+        out = fam.update_timesteps(state, state.t, anneal=0.5)
+        np.testing.assert_allclose(out.cov_in, state.cov_in, atol=1e-6)
+
+    def test_update_timesteps_shift_preserves_posterior_overlap(self):
+        h = 16
+        dt = 0.05
+        t0 = jnp.arange(h) * dt
+        fam, state = make_matrix_policy("SquaredExponentialKernel", h=h,
+                                        time_sequence=t0, lengthscale=0.3)
+        state = fam.compute_prior(state, t0)
+        # condition on a known value mid-window, then shift by one step
+        tc = t0[8:9]
+        ac = jnp.array([[0.5, 0.5]])
+        state = fam.condition(state, tc, ac)
+        t1 = t0 + dt
+        shifted = fam.update_timesteps(state, t1, anneal=1.0)
+        # the conditioned time lives at index 7 after the shift
+        mu = np.asarray(fam.predict_mean(shifted))
+        np.testing.assert_allclose(mu[7], np.asarray(ac[0]), atol=0.1)
+
+    def test_white_kernel_shift_remaps(self):
+        h = 6
+        t0 = jnp.arange(h) * 0.1
+        fam, state = make_matrix_policy("WhiteNoiseKernel", h=h,
+                                        time_sequence=t0)
+        state = state.replace(mean=jnp.tile(
+            jnp.arange(h, dtype=jnp.float32)[:, None], (1, 2)))
+        shifted = fam.update_timesteps(state, t0 + 0.1)
+        # mean[i] should now hold the value previously at i+1; tail slot fresh
+        np.testing.assert_allclose(np.asarray(shifted.mean[:-1, 0]),
+                                   np.arange(1, h), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(shifted.mean[-1, 0]), 0.0, atol=1e-6)
+
+    def test_weighted_update_tracks_map(self):
+        fam, state = make_matrix_policy("SquaredExponentialKernel", h=10)
+        xs, params = fam.sample(state, jax.random.key(0), 32)
+        log_w = jnp.zeros(32).at[7].set(10.0)
+        new, ess, _ = fam.weighted_update(state, log_w, params)
+        np.testing.assert_allclose(
+            np.asarray(fam.map_action_sequence(new)),
+            np.asarray(params[7]), atol=1e-5)
+
+    def test_loglikelihood_matches_mvn(self):
+        fam, state = make_matrix_policy("SquaredExponentialKernel", h=6, d_a=2)
+        x = 0.1 * jax.random.normal(jax.random.key(0), (1, 6, 2))
+        llh = float(fam.loglikelihood(state, x))
+        # oracle: N(vec(x); 0, kron(V, U)) density
+        from scipy.stats import multivariate_normal
+        cov = np.kron(np.asarray(state.cov_out), np.asarray(state.cov_in))
+        expect = multivariate_normal.logpdf(
+            np.asarray(x[0]).flatten(order="F"), mean=np.zeros(12), cov=cov)
+        np.testing.assert_allclose(llh, expect, rtol=1e-3)
+
+
+class TestFeaturePolicies:
+    def test_rbf_sample_shapes_with_derivatives(self):
+        fam, state = make_matrix_policy(
+            "RbfFeatures", h=25, n_features=8, lengthscale=0.2,
+            use_derivatives=True, add_bias=True)
+        xs, ws = fam.sample(state, jax.random.key(0), 16)
+        assert xs.shape == (16, 25, 4)   # pos + derivative channels
+        assert ws.shape == (16, 9, 2)    # 8 rbf + bias
+
+    def test_rbf_derivative_matches_finite_difference(self):
+        fam, state = make_matrix_policy(
+            "RbfFeatures", h=200, n_features=10, lengthscale=0.3,
+            use_derivatives=True)
+        xs, _ = fam.sample(state, jax.random.key(0), 3)
+        xs = np.asarray(xs)
+        pos, vel = xs[..., :2], xs[..., 2:]
+        dt = 1.0 / 199
+        fd = np.gradient(pos, dt, axis=1)
+        # interior points agree well
+        np.testing.assert_allclose(vel[:, 5:-5, :], fd[:, 5:-5, :],
+                                   atol=0.15 * np.abs(vel).max())
+
+    def test_rff_features_approximate_se_kernel(self):
+        fam, state = make_matrix_policy("RffFeatures", h=15, order=20,
+                                        lengthscale=0.4)
+        t = state.t
+        f = np.asarray(fam.feat(state, t))
+        gram = f @ f.T
+        tn = np.asarray(t)
+        expect = np.exp(-0.5 * ((tn[:, None] - tn[None, :]) / 0.4) ** 2)
+        np.testing.assert_allclose(gram, expect, atol=1e-4)
+
+    def test_condition_pins_start(self):
+        fam, state = make_matrix_policy(
+            "RbfFeatures", h=30, n_features=12, lengthscale=0.15,
+            covariance_in=jnp.array([10.0]), add_bias=True)
+        a0 = jnp.array([[1.0, -1.0]])
+        xs_prior, _ = fam.sample(state, jax.random.key(0), 500)
+        prior_std = np.asarray(xs_prior[:, 0, :]).std(0)
+        state = fam.condition(state, jnp.zeros(1), a0)
+        xs, _ = fam.sample(state, jax.random.key(0), 500)
+        start = np.asarray(xs[:, 0, :])
+        np.testing.assert_allclose(start.mean(0), np.asarray(a0[0]), atol=0.1)
+        # conditioning collapses the weight-space uncertainty at t=0
+        assert start.std(0).max() < 0.3 * prior_std.max()
+
+    def test_weighted_update_recovers_target_weights(self):
+        fam, state = make_matrix_policy("RbfFeatures", h=20, n_features=6,
+                                        lengthscale=0.3)
+        key = jax.random.key(3)
+        target_w = jax.random.normal(key, (6, 2))
+        xs, ws = fam.sample(state, jax.random.key(4), 512)
+        # weight samples by closeness to target -> mean should move toward it
+        d = jnp.sum((ws - target_w[None]) ** 2, axis=(1, 2))
+        new, ess, _ = fam.weighted_update(state, -5.0 * d, ws)
+        before = float(jnp.sum((state.mean - target_w) ** 2))
+        after = float(jnp.sum((new.mean - target_w) ** 2))
+        assert after < before
+
+
+class TestNoisePolicies:
+    def test_white_noise_sampling_stats(self):
+        fam, state = make_matrix_policy("WhiteNoiseIid", h=10)
+        xs, _ = fam.sample(state, jax.random.key(0), 4000)
+        assert xs.shape == (4000, 10, 2)
+        np.testing.assert_allclose(np.asarray(xs).mean(0), 0.0, atol=0.05)
+        np.testing.assert_allclose(np.asarray(xs).std(0),
+                                   np.sqrt(0.1), atol=0.05)
+
+    def test_white_noise_weighted_update(self):
+        fam, state = make_matrix_policy("WhiteNoiseIid", h=5)
+        xs, params = fam.sample(state, jax.random.key(0), 64)
+        log_w = jnp.zeros(64).at[3].set(20.0)
+        new, ess, _ = fam.weighted_update(state, log_w, params)
+        np.testing.assert_allclose(np.asarray(new.map_sequence),
+                                   np.asarray(params[3]), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(fam.predict_mean(new)),
+                                   np.asarray(params[3]), atol=1e-2)
+
+    def test_update_timesteps_remap_and_reinflate(self):
+        h = 6
+        t0 = jnp.arange(h) * 0.1
+        fam, state = make_matrix_policy("WhiteNoiseIid", h=h, time_sequence=t0)
+        state = state.replace(
+            mean=jnp.tile(jnp.arange(h, dtype=jnp.float32)[:, None], (1, 2)),
+            std=0.01 * jnp.ones((h, 2)))
+        shifted = fam.update_timesteps(state, t0 + 0.1, anneal=1.0)
+        np.testing.assert_allclose(np.asarray(shifted.mean[:-1, 0]),
+                                   np.arange(1, h), atol=1e-5)
+        # fresh tail slot re-inflates to the prior std
+        np.testing.assert_allclose(float(shifted.std[-1, 0]),
+                                   float(state.sigma_row[0]), rtol=1e-4)
+        # carried slots keep their tight std
+        np.testing.assert_allclose(np.asarray(shifted.std[:-1, 0]), 0.01,
+                                   atol=1e-4)
+
+    def test_coloured_noise_temporal_correlation(self):
+        fam, state = make_matrix_policy("ColouredNoise", h=64, beta=2.0)
+        xs, _ = fam.sample(state, jax.random.key(0), 256)
+        x = np.asarray(xs[:, :, 0])
+        # red noise: strong lag-1 autocorrelation vs white
+        ac = np.mean([np.corrcoef(x[i, :-1], x[i, 1:])[0, 1]
+                      for i in range(x.shape[0])])
+        assert ac > 0.7
+
+    def test_ema_smooth_matches_loop_oracle(self, rng):
+        x = rng.normal(size=(3, 12, 2)).astype(np.float32)
+        beta = 0.3
+        # reference-style causal loop oracle
+        y = x.copy()
+        for t in range(1, 12):
+            y[:, t, :] = (1 - beta) * y[:, t - 1, :] + beta * x[:, t, :]
+        got = np.asarray(ema_smooth(jnp.array(x), beta))
+        np.testing.assert_allclose(got, y, atol=1e-5)
+
+    def test_smooth_exploration_smoother_than_white(self):
+        fam_w, st_w = make_matrix_policy("WhiteNoiseIid", h=64)
+        fam_s, st_s = make_matrix_policy("SmoothExplorationNoise", h=64,
+                                         beta=0.2)
+        xw, _ = fam_w.sample(st_w, jax.random.key(0), 128)
+        xs, _ = fam_s.sample(st_s, jax.random.key(0), 128)
+        tv = lambda a: float(jnp.abs(jnp.diff(a, axis=1)).mean())
+        assert tv(xs) < 0.5 * tv(xw)
+
+    def test_coloured_particles_shift(self):
+        fam, state = make_matrix_policy("ColouredNoise", h=5,
+                                        sampler="Particles", max_particles=2)
+        p = jnp.tile(jnp.arange(5.0)[None, :, None], (2, 1, 2))
+        state = fam.set_particles(state, p, 2)
+        shifted = fam.update_timesteps(state, state.t + 0.2)
+        np.testing.assert_allclose(np.asarray(shifted.particles[0, :, 0]),
+                                   [1, 2, 3, 4, 4], atol=1e-6)
