@@ -122,3 +122,44 @@ def bisect_decreasing(
 
     a, b = jax.lax.fori_loop(0, iters, body, (a, b))
     return itf(0.5 * (a + b))
+
+
+def minimize_newton(fn: Callable, x0: jnp.ndarray, iters: int = 25,
+                    damping: float = 1e-6):
+    """Fixed-iteration damped Newton minimization for tiny smooth problems
+    (e.g. the 2-parameter MORE dual). Backtracks over 4 step sizes per
+    iteration, evaluated in parallel; keeps the first improving candidate.
+
+    Replaces the reference's SciPy L-BFGS-B on the MORE dual (reference:
+    ppi/algorithms.py:398-404) with an in-graph solver.
+    """
+    grad_fn = jax.grad(fn)
+    hess_fn = jax.hessian(fn)
+    d = x0.shape[0]
+    newton_steps = jnp.array([1.0, 0.5, 0.1])
+    gd_steps = jnp.array([1.0, 0.3, 0.1, 0.03, 0.01])
+
+    def body(_, carry):
+        x, fx = carry
+        g = grad_fn(x)
+        h = hess_fn(x)
+        # Regularize an indefinite Hessian far enough that the Newton step is
+        # bounded; gradient-descent candidates cover the remaining cases.
+        evals = jnp.linalg.eigvalsh(0.5 * (h + h.T))
+        lam = jnp.maximum(damping, -1.5 * jnp.min(evals))
+        direction = jnp.linalg.solve(h + lam * jnp.eye(d), g)
+        direction = jnp.where(jnp.all(jnp.isfinite(direction)), direction, g)
+        cands = jnp.concatenate([
+            x[None, :] - newton_steps[:, None] * direction[None, :],
+            x[None, :] - gd_steps[:, None] * g[None, :],
+        ])
+        fvals = jax.vmap(fn)(cands)
+        fvals = jnp.where(jnp.isfinite(fvals), fvals, jnp.inf)
+        best = jnp.argmin(fvals)
+        improved = fvals[best] < fx
+        x_new = jnp.where(improved, cands[best], x)
+        f_new = jnp.where(improved, fvals[best], fx)
+        return x_new, f_new
+
+    x, fx = jax.lax.fori_loop(0, iters, body, (x0, fn(x0)))
+    return x, fx
