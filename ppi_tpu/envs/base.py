@@ -1,0 +1,86 @@
+"""Environment protocol and batched rollout machinery.
+
+The TPU-native replacement for the reference's process-pool rollout backend
+(reference: mpc/wrappers.py:121-189): an environment is a pure step function
+over a pytree state, a rollout is a ``lax.scan`` over the horizon, and the
+sample batch is a ``vmap`` over rollouts — policy sampling, N x H physics
+steps, reward reduction and the posterior update all fuse into one compiled
+program. The queue/pickle layer disappears entirely.
+
+Failure containment (SURVEY.md §5): a diverged rollout yields NaN rewards in
+its own lane only; the solver's mask turns it into a zero-weight sample —
+the vmap equivalent of the reference's MujocoException -> NaN-row protocol
+(reference: mpc/wrappers.py:110-116).
+"""
+
+from typing import Protocol
+
+import jax
+import jax.numpy as jnp
+from jax.flatten_util import ravel_pytree
+
+
+class Env(Protocol):
+    """Static env config; dynamics are pure functions of (state, action)."""
+
+    action_dim: int
+    dt: float
+
+    def reset(self, key):
+        ...
+
+    def step(self, state, action):
+        """(state, action) -> (next_state, reward)."""
+        ...
+
+    def observe(self, state):
+        ...
+
+
+def rollout(env, state0, action_sequence, guard: bool = True):
+    """Roll one action sequence; returns (final_state, rewards (H,)).
+
+    With ``guard``, a non-finite state poisons only the remaining steps of
+    THIS rollout (reward -> NaN), mirroring the reference's divergence
+    containment per worker rollout.
+    """
+
+    def body(state, action):
+        next_state, reward = env.step(state, action)
+        if guard:
+            flat = ravel_pytree(next_state)[0]
+            bad = ~jnp.all(jnp.isfinite(flat))
+            reward = jnp.where(bad, jnp.nan, reward)
+        return next_state, reward
+
+    return jax.lax.scan(body, state0, action_sequence)
+
+
+def batch_rollout(env, state0, action_sequences, guard: bool = True):
+    """vmap over the sample axis: (N, H, d_a) -> (final_states, (N, H) rewards).
+
+    ``state0`` is a single state, broadcast to every lane (the MPC case:
+    every sampled plan starts from the frozen real-env state, the analogue of
+    the reference's FreezeMujoco context; reference: mpc/wrappers.py:34-51).
+    """
+    return jax.vmap(lambda acts: rollout(env, state0, acts, guard))(
+        action_sequences)
+
+
+def mpc_objective(env, state0, horizon_mask=None, guard: bool = True):
+    """Build the ``f(key, actions) -> costs`` callable the solvers consume.
+
+    ``horizon_mask`` (H,) zeroes rewards beyond the episode end — the
+    static-shape version of the reference's window truncation
+    (reference: mpc/mpc.py:50-56). Cost = -sum(rewards) per sample
+    (reference: mpc/wrappers.py:186).
+    """
+
+    def f(key, action_sequences):
+        del key
+        _, rewards = batch_rollout(env, state0, action_sequences, guard)
+        if horizon_mask is not None:
+            rewards = rewards * horizon_mask[None, :]
+        return -jnp.sum(rewards, axis=1)
+
+    return f
