@@ -1,0 +1,176 @@
+"""Door-opening environment on the articulated physics core.
+
+TPU-native re-host of the mj_envs ``door-v0`` task semantics (the
+reference's canonical MPC env; reference: run_mpc.py:36-48, Makefile:14-18):
+an arm must push the spring-loaded latch down and pull the door open. The
+28-DoF Adroit hand is replaced by a 4-DoF arm with a palm paddle — the
+contact structure (palm vs handle capsule, latch gating the door hinge) and
+the reward shape (palm-to-handle distance + staged door-opening bonuses,
+mirroring the mj_envs reward terms) are preserved; the embodiment is
+deliberately simpler. Action space: PD position targets for the arm joints
+(the mj_envs hand also uses position servos).
+
+Scene (world frame: x forward, z up):
+  * arm base at origin, shoulder at z=1: yaw(z) -> pitch(y) -> elbow(y) ->
+    wrist(y), palm sphere at the end;
+  * door hinged on a vertical axis at (0.75, 0.35), panel extending -y;
+  * latch: a handle bar on the door, hinged about the door-panel normal,
+    spring-loaded to horizontal; pressing it down unlocks the door (the
+    door hinge's holding spring releases smoothly with latch angle).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ppi_tpu.envs.physics import ModelBuilder, PhysicsState, fk, step
+from ppi_tpu.envs.physics.engine import HINGE
+
+# dof indices
+YAW, SHOULDER, ELBOW, WRIST, DOOR, LATCH = range(6)
+
+
+def _build_model():
+    b = ModelBuilder()
+    # --- arm ---
+    b.add_body(parent=-1, joint_type=HINGE, axis=(0, 0, 1),
+               offset_pos=(0, 0, 1.0), mass=2.0, com=(0.0, 0, 0),
+               damping=2.0, armature=0.1, q_limit=(-1.5, 1.5), limit_k=50.0)
+    b.add_body(parent=YAW, joint_type=HINGE, axis=(0, 1, 0),
+               offset_pos=(0, 0, 0), mass=2.0, com=(0.17, 0, 0),
+               damping=2.0, armature=0.1, q_limit=(-1.2, 1.2), limit_k=50.0)
+    b.add_body(parent=SHOULDER, joint_type=HINGE, axis=(0, 1, 0),
+               offset_pos=(0.35, 0, 0), mass=1.5, com=(0.17, 0, 0),
+               damping=1.5, armature=0.08, q_limit=(-2.0, 2.0), limit_k=50.0)
+    b.add_body(parent=ELBOW, joint_type=HINGE, axis=(0, 1, 0),
+               offset_pos=(0.35, 0, 0), mass=0.8, com=(0.08, 0, 0),
+               damping=1.0, armature=0.05, q_limit=(-2.0, 2.0), limit_k=50.0)
+    # --- door (hinge at the frame edge, panel extends -y) ---
+    b.add_body(parent=-1, joint_type=HINGE, axis=(0, 0, 1),
+               offset_pos=(0.55, 0.35, 1.0), mass=3.0, com=(0.0, -0.25, 0.0),
+               inertia=np.diag([0.1, 0.02, 0.1]), damping=3.0, armature=0.0,
+               q_limit=(0.0, 1.8), limit_k=200.0)
+    # --- latch: handle bar on the door, rotates about the panel normal ---
+    b.add_body(parent=DOOR, joint_type=HINGE, axis=(1, 0, 0),
+               offset_pos=(-0.05, -0.45, 0.0), mass=0.3,
+               com=(0.0, 0.08, 0.0), inertia=np.diag([2e-3, 2e-3, 2e-3]),
+               damping=0.3, armature=0.01, spring_k=2.0, spring_ref=0.0,
+               q_limit=(-1.6, 0.1), limit_k=30.0)
+
+    # geoms
+    palm = b.add_sphere(WRIST, (0.18, 0, 0), 0.05)
+    # handle bar: two spheres spanning a capsule on the latch body
+    h_a = b.add_sphere(LATCH, (0.0, 0.02, 0.0), 0.02)
+    h_b = b.add_sphere(LATCH, (0.0, 0.16, 0.0), 0.02)
+    # door panel edge capsule (for pushing/pulling the panel itself)
+    d_a = b.add_sphere(DOOR, (0.0, -0.1, 0.0), 0.02)
+    d_b = b.add_sphere(DOOR, (0.0, -0.5, 0.0), 0.02)
+
+    b.add_contact_sphere_segment(palm, h_a, h_b)
+    b.add_contact_sphere_segment(palm, d_a, d_b)
+    b.contact_stiffness = 2e3
+    b.contact_damping = 50.0
+    b.friction_mu = 1.0
+    b.friction_vel_k = 50.0
+    return b.finalize(), palm, (h_a, h_b)
+
+
+class DoorState(struct.PyTreeNode):
+    physics: PhysicsState
+    t: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class Door:
+    """door-v0-class task; actions are PD position targets for the 4 arm
+    joints."""
+
+    action_dim: int = 4
+    dt: float = 0.02
+    substeps: int = 2
+    kp: float = 60.0
+    kd: float = 6.0
+    latch_unlock_angle: float = -0.8   # latch pressed this far -> door free
+    lock_stiffness: float = 60.0
+
+    name = "door-v0"
+
+    def __post_init__(self):
+        model, palm, handle = _build_model()
+        object.__setattr__(self, "_model", model)
+        object.__setattr__(self, "_palm_geom", palm)
+        object.__setattr__(self, "_handle_geoms", handle)
+
+    @property
+    def action_low(self):
+        return jnp.array([-1.5, -1.2, -2.0, -2.0])
+
+    @property
+    def action_high(self):
+        return jnp.array([1.5, 1.2, 2.0, 2.0])
+
+    def reset(self, key):
+        del key
+        qpos = jnp.array([0.0, 0.6, -0.8, 0.2, 0.0, 0.0])
+        return DoorState(physics=PhysicsState(qpos=qpos, qvel=jnp.zeros(6)),
+                         t=jnp.zeros((), jnp.int32))
+
+    # ------------------------------------------------------------------
+    def _lock_torque(self, qpos):
+        """Smooth latch-gated lock: a strong spring holds the door closed
+        until the latch is pressed past the unlock angle (the analogue of the
+        door-v0 latch constraint, implemented branchlessly)."""
+        latch = qpos[LATCH]
+        engaged = jax.nn.sigmoid((latch - self.latch_unlock_angle) / 0.05)
+        # a bolt only blocks a (nearly) closed door: once open, the latch
+        # springing back must not slam the door shut
+        closed = jax.nn.sigmoid((0.08 - qpos[DOOR]) / 0.03)
+        tau = jnp.zeros(6)
+        return tau.at[DOOR].set(
+            -engaged * closed * self.lock_stiffness * qpos[DOOR])
+
+    def _sites(self, qpos):
+        kin = fk(self._model, qpos)
+        body = self._model.sphere_body
+        pts = (kin["pos"][body]
+               + jnp.einsum("sij,sj->si", kin["rot"][body],
+                            self._model.sphere_pos))
+        palm = pts[self._palm_geom]
+        handle = 0.5 * (pts[self._handle_geoms[0]]
+                        + pts[self._handle_geoms[1]])
+        return palm, handle
+
+    def step(self, state, action):
+        target = jnp.clip(action, self.action_low, self.action_high)
+        q, qd = state.physics.qpos, state.physics.qvel
+        tau_arm = self.kp * (target - q[:4]) - self.kd * qd[:4]
+        tau = jnp.zeros(6).at[:4].set(tau_arm) + self._lock_torque(q)
+        phys = step(self._model, state.physics, tau, self.dt, self.substeps)
+
+        palm, handle = self._sites(phys.qpos)
+        door_pos = phys.qpos[DOOR]
+        dist = jnp.linalg.norm(palm - handle)
+        # mj_envs door-v0 reward shape: approach + staged opening bonuses +
+        # velocity regularization
+        reward = (-0.5 * dist
+                  + 2.0 * door_pos
+                  - 1e-3 * jnp.sum(phys.qvel ** 2)
+                  + 2.0 * (door_pos > 0.2)
+                  + 8.0 * (door_pos > 1.0)
+                  + 10.0 * (door_pos > 1.35))
+        return state.replace(physics=phys, t=state.t + 1), reward
+
+    def observe(self, state):
+        palm, handle = self._sites(state.physics.qpos)
+        q = state.physics.qpos
+        return jnp.concatenate([
+            q[:4], state.physics.qvel[:4],
+            q[DOOR:DOOR + 1], q[LATCH:LATCH + 1],
+            palm, handle, palm - handle,
+            jnp.array([1.0 * (q[DOOR] > 1.0)])])
+
+    def success(self, state):
+        return state.physics.qpos[DOOR] > 1.35

@@ -1,0 +1,79 @@
+"""Two-link planar reacher on the articulated physics core.
+
+Engine-backed counterpart of the gym Reacher-class tasks in the reference's
+env zoo (reference: run_mpc.py:36-48): a 2-DoF arm driven by joint torques
+must bring its fingertip to a target. Serves as the simplest engine-backed
+MPC environment (no contacts)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ppi_tpu.envs.physics import ModelBuilder, PhysicsState, step
+from ppi_tpu.envs.physics.engine import HINGE
+
+
+def _build_model():
+    b = ModelBuilder()
+    b.add_body(parent=-1, joint_type=HINGE, axis=(0, 0, 1),
+               offset_pos=(0, 0, 0), mass=1.0, com=(0.1, 0, 0),
+               inertia=1e-3 * jnp.eye(3), damping=0.3, armature=0.02)
+    b.add_body(parent=0, joint_type=HINGE, axis=(0, 0, 1),
+               offset_pos=(0.2, 0, 0), mass=1.0, com=(0.1, 0, 0),
+               inertia=1e-3 * jnp.eye(3), damping=0.3, armature=0.02)
+    b.gravity = (0.0, 0.0, 0.0)  # planar
+    return b.finalize()
+
+
+class ReacherState(struct.PyTreeNode):
+    physics: PhysicsState
+    target: jax.Array
+    t: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class Reacher:
+    action_dim: int = 2
+    dt: float = 0.02
+    substeps: int = 2
+    max_torque: float = 1.0
+    target: tuple = (0.15, 0.25)
+
+    def __post_init__(self):
+        object.__setattr__(self, "_model", _build_model())
+
+    @property
+    def action_low(self):
+        return -self.max_torque * jnp.ones(2)
+
+    @property
+    def action_high(self):
+        return self.max_torque * jnp.ones(2)
+
+    def reset(self, key):
+        del key
+        return ReacherState(
+            physics=PhysicsState(qpos=jnp.zeros(2), qvel=jnp.zeros(2)),
+            target=jnp.asarray(self.target), t=jnp.zeros((), jnp.int32))
+
+    def fingertip(self, qpos):
+        q1, q2 = qpos[0], qpos[1]
+        x = 0.2 * jnp.cos(q1) + 0.2 * jnp.cos(q1 + q2)
+        y = 0.2 * jnp.sin(q1) + 0.2 * jnp.sin(q1 + q2)
+        return jnp.array([x, y])
+
+    def step(self, state, action):
+        tau = jnp.clip(action, -self.max_torque, self.max_torque)
+        phys = step(self._model, state.physics, tau, self.dt, self.substeps)
+        tip = self.fingertip(phys.qpos)
+        dist = jnp.linalg.norm(tip - state.target)
+        reward = -dist - 0.01 * jnp.sum(action ** 2)
+        return state.replace(physics=phys, t=state.t + 1), reward
+
+    def observe(self, state):
+        return jnp.concatenate([
+            jnp.cos(state.physics.qpos), jnp.sin(state.physics.qpos),
+            state.physics.qvel, state.target,
+            self.fingertip(state.physics.qpos)])

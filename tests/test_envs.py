@@ -1,0 +1,77 @@
+"""Engine-backed task environments: reacher and the door-v0-class task."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ppi_tpu.algorithms import make_solver
+from ppi_tpu.envs.base import batch_rollout
+from ppi_tpu.envs.door import DOOR, LATCH, Door
+from ppi_tpu.envs.reacher import Reacher
+from ppi_tpu.mpc import Mpc
+from ppi_tpu.policies import design_moments, make_policy
+
+
+def mppi_agent(env, horizon, timesteps, n_samples, policy="ColouredNoise",
+               alpha=5.0):
+    mean, ci, co = design_moments(env.action_low, env.action_high,
+                                  ratio=1000.0)
+    fam, pol = make_policy(policy, env.dt * jnp.arange(horizon),
+                           env.action_dim, mean, ci, co,
+                           lower=env.action_low, upper=env.action_high)
+    agent = Mpc(env=env, solver=make_solver("Mppi", alpha=alpha), family=fam,
+                timesteps=timesteps, horizon=horizon, n_samples=n_samples)
+    return agent, pol
+
+
+class TestReacher:
+    def test_rollout_finite(self):
+        env = Reacher()
+        s0 = env.reset(jax.random.key(0))
+        acts = 0.5 * jax.random.normal(jax.random.key(1), (8, 25, 2))
+        _, rew = batch_rollout(env, s0, acts)
+        assert np.isfinite(np.asarray(rew)).all()
+
+    def test_mpc_reaches_target(self):
+        env = Reacher()
+        agent, pol = mppi_agent(env, horizon=15, timesteps=50, n_samples=64,
+                                policy="WhiteNoiseIid")
+        carry = agent.init(pol, jax.random.key(0))
+        es = env.reset(jax.random.key(1))
+        carry, es, track = agent.run_episode_scan(carry, es, collect=False)
+        tip = np.asarray(env.fingertip(es.physics.qpos))
+        dist = np.linalg.norm(tip - np.asarray(es.target))
+        assert dist < 0.08, dist
+
+
+class TestDoor:
+    def test_stays_finite_under_random_actions(self):
+        env = Door()
+        s0 = env.reset(jax.random.key(0))
+        base = s0.physics.qpos[:4]
+        acts = base[None, None, :] + 0.5 * jax.random.normal(
+            jax.random.key(1), (8, 40, 4))
+        _, rew = batch_rollout(env, s0, acts)
+        assert np.isfinite(np.asarray(rew)).all()
+
+    def test_door_locked_without_latch(self):
+        # pushing the panel with the latch engaged must not open the door
+        env = Door()
+        s0 = env.reset(jax.random.key(0))
+        # command the arm toward the door panel, wrist level
+        target = jnp.array([0.4, 0.9, -0.3, 0.0])
+        state, _ = jax.lax.scan(
+            lambda s, _: env.step(s, target), s0, None, length=40)
+        assert float(state.physics.qpos[DOOR]) < 0.15
+
+    def test_mpc_presses_latch_and_opens_door(self):
+        env = Door()
+        agent, pol = mppi_agent(env, horizon=30, timesteps=150, n_samples=96)
+        carry = agent.init(pol, jax.random.key(0))
+        es = env.reset(jax.random.key(1))
+        carry, _ = agent.warm_start(carry, es, n_iters=20)
+        carry, es, track = agent.run_episode_scan(carry, es, collect=False)
+        # the latch must have been pressed at some point and the door opened
+        assert float(es.physics.qpos[DOOR]) > 0.5, es.physics.qpos
+        r = np.asarray(track["reward"])
+        assert r[-10:].mean() > r[:10].mean() + 1.0
