@@ -1,0 +1,81 @@
+"""North-star benchmark: one full PPI iteration on the door-v0-class task —
+1024 sampled GP action plans rolled out in parallel over H=160 contact-rich
+physics steps, plus the Gibbs-posterior (matrix-normal moment-match) update.
+
+Target (BASELINE.json): < 100 ms per PPI iteration on TPU v5e. The reference
+does the same workload as 1024 x 160 native MuJoCo steps over a CPU process
+pool with per-sample pickle round trips.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <ms per PPI iteration>, "unit": "ms",
+   "vs_baseline": <target_ms / measured_ms; > 1 beats the 100 ms target>}
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+N_SAMPLES = 1024
+HORIZON = 160
+TARGET_MS = 100.0
+WARMUP = 2
+ITERS = 10
+
+
+def build():
+    from ppi_tpu.algorithms import make_solver
+    from ppi_tpu.algorithms.base import _one_iteration
+    from ppi_tpu.envs.base import mpc_objective
+    from ppi_tpu.envs.door import Door
+    from ppi_tpu.policies import design_moments, make_policy
+
+    env = Door()
+    mean, cov_in, cov_out = design_moments(env.action_low, env.action_high,
+                                           ratio=1000.0)
+    family, policy = make_policy(
+        "SquaredExponentialKernel", env.dt * jnp.arange(HORIZON),
+        env.action_dim, mean, cov_in, cov_out, lengthscale=4 * env.dt,
+        lower=env.action_low, upper=env.action_high)
+    solver = make_solver("Lbps", delta=0.9)
+    env_state = env.reset(jax.random.key(0))
+    f = mpc_objective(env, env_state)
+    step = jax.jit(_one_iteration(solver, family, f, N_SAMPLES))
+    return step, policy
+
+
+def main():
+    step, policy = build()
+    key = jax.random.key(0)
+    state = policy
+    # warmup (compile)
+    for i in range(WARMUP):
+        key, sub = jax.random.split(key)
+        state, (stats, _, costs) = step(state, sub)
+    jax.block_until_ready(costs)
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        key, sub = jax.random.split(key)
+        state, (stats, _, costs) = step(state, sub)
+    jax.block_until_ready(costs)
+    elapsed = time.perf_counter() - t0
+    ms_per_iter = 1e3 * elapsed / ITERS
+
+    env_steps_per_sec = N_SAMPLES * HORIZON * ITERS / elapsed
+    print(f"# backend={jax.default_backend()} "
+          f"env_steps/s={env_steps_per_sec:,.0f} "
+          f"mean_cost={float(stats['mean']):.2f}", file=sys.stderr)
+    print(json.dumps({
+        "metric": ("ms per PPI iteration (door-v0-class, 1024 rollouts, "
+                   "H=160, SE-kernel prior + LBPS update)"),
+        "value": round(ms_per_iter, 3),
+        "unit": "ms",
+        "vs_baseline": round(TARGET_MS / ms_per_iter, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -44,6 +44,7 @@ class Mpc:
     n_iters: int = 1
     anneal: float = 1.0
     use_map: bool = False     # return the MAP/elite first action (CEM/iCEM)
+    mesh: Any = None          # jax.sharding.Mesh -> shard the sample axis
 
     @property
     def dt(self) -> float:
@@ -74,7 +75,13 @@ class Mpc:
         # Base.reset runs at every solver call; reference: algorithms.py:80,
         # 109-115)
         policy = self.solver.reset(self.family, policy)
-        f = mpc_objective(self.env, env_state, self.horizon_mask(time_index))
+        if self.mesh is not None:
+            from ppi_tpu.parallel import sharded_mpc_objective
+            f = sharded_mpc_objective(self.env, env_state, self.mesh,
+                                      self.horizon_mask(time_index))
+        else:
+            f = mpc_objective(self.env, env_state,
+                              self.horizon_mask(time_index))
         step_fn = _one_iteration(self.solver, self.family, f, self.n_samples)
 
         def body(state, key):

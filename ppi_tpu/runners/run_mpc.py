@@ -1,0 +1,165 @@
+"""MPC experiment runner.
+
+CLI-parity counterpart of the reference's MPC entry point (reference:
+run_mpc.py): positional algorithm + env + policy, sampler subcommand with
+--n-samples, warm start, per-step telemetry, smoothness metrics, npz results
+and plots — but the env zoo is the on-device physics core and the episode
+loop is one compiled scan.
+
+Canonical configs (reference Makefile:14-21 analogues):
+    python -m ppi_tpu.runners.run_mpc Cem door-v0 WhiteNoiseIid \
+        --n-elites 10 MonteCarlo --n-samples 64
+    python -m ppi_tpu.runners.run_mpc Lbps door-v0 SquaredExponentialKernel \
+        --delta 0.9 --n-iters 2 --anneal 0.5 MonteCarlo --n-samples 64
+"""
+
+import argparse
+import logging
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ppi_tpu import viz
+from ppi_tpu.algorithms import ALGORITHMS, make_solver
+from ppi_tpu.envs.classic import Cartpole, Pendulum
+from ppi_tpu.envs.door import Door
+from ppi_tpu.envs.reacher import Reacher
+from ppi_tpu.mpc import Mpc, fft_smoothness, signal_power
+from ppi_tpu.policies import POLICY_NAMES, design_moments, make_policy
+from ppi_tpu.samplers import BY_NAME as SAMPLER_NAMES
+from ppi_tpu.utils import experiment_dir, save_results, setup_logging, write_args
+
+ENVS = {
+    "pendulum": Pendulum,
+    "cartpole": Cartpole,
+    "reacher": Reacher,
+    "door-v0": Door,
+}
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("algorithm", choices=sorted(ALGORITHMS))
+    parser.add_argument("env", choices=sorted(ENVS))
+    parser.add_argument("policy", choices=POLICY_NAMES)
+    parser.add_argument("--timesteps", type=int, default=250)
+    parser.add_argument("--horizon", type=int, default=30)
+    parser.add_argument("--n-warmstart-iters", type=int, default=50)
+    parser.add_argument("--n-iters", type=int, default=1)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--dir", type=str, default=None)
+    parser.add_argument("--name", type=str, default="")
+    parser.add_argument("--force", action="store_true")
+    parser.add_argument("--no-plots", action="store_true")
+    parser.add_argument("--anneal", type=float, default=1.0)
+    parser.add_argument("--host-loop", action="store_true",
+                        help="per-step host loop instead of one episode scan")
+    # algorithm hyperparameters
+    parser.add_argument("--n-elites", type=int, default=10)
+    parser.add_argument("--alpha", type=float, default=10.0)
+    parser.add_argument("--epsilon", type=float, default=2.0)
+    parser.add_argument("--delta", type=float, default=0.9)
+    # policy hyperparameters
+    parser.add_argument("--beta", type=float, default=2.0)
+    parser.add_argument("--lengthscale", type=float, default=1.0)
+    parser.add_argument("--n-features", type=int, default=10)
+    parser.add_argument("--order", type=int, default=10)
+
+    sub = parser.add_subparsers(title="sampling", dest="sampling",
+                                required=True)
+    for samp in sorted(set(SAMPLER_NAMES)):
+        sp = sub.add_parser(samp)
+        sp.add_argument("--n-samples", type=int, default=64)
+    return parser
+
+
+def main(args):
+    filepath = None
+    if args.dir is not None:
+        name = (f"{args.algorithm}_{args.env}_{args.policy}_{args.sampling}_"
+                f"{args.n_samples}_{args.seed}_{args.name}")
+        filepath = experiment_dir(Path(args.dir), name, args.force)
+        if filepath is None:
+            print("experiment done!")
+            return None
+        write_args(args, filepath)
+    setup_logging(filepath, args)
+
+    env = ENVS[args.env]()
+    dt = env.dt
+    # RBF features span the whole episode; everything else spans the horizon
+    # (reference: run_mpc.py:143-147)
+    span = args.timesteps if args.policy == "RbfFeatures" else args.horizon
+    time_sequence = dt * jnp.arange(span)
+    mean, cov_in, cov_out = design_moments(env.action_low, env.action_high,
+                                           ratio=1000.0)
+    use_particles = args.algorithm == "iCem"
+    family, policy = make_policy(
+        args.policy, time_sequence, env.action_dim, mean, cov_in, cov_out,
+        lengthscale=args.lengthscale, period=dt, n_features=args.n_features,
+        order=args.order, beta=args.beta,
+        sampler="Particles" if use_particles else args.sampling,
+        lower=env.action_low, upper=env.action_high,
+        max_particles=max(1, int(0.33 * args.n_elites)))
+    solver = make_solver(args.algorithm, alpha=args.alpha,
+                         epsilon=args.epsilon, delta=args.delta,
+                         n_elites=args.n_elites,
+                         dimension=family.dim_features)
+
+    agent = Mpc(env=env, solver=solver, family=family,
+                timesteps=args.timesteps, horizon=args.horizon,
+                n_samples=args.n_samples, n_iters=args.n_iters,
+                anneal=args.anneal, use_map=args.algorithm == "iCem")
+    carry = agent.init(policy, jax.random.key(args.seed))
+    env_state = env.reset(jax.random.key(args.seed))
+
+    if args.n_warmstart_iters > 0:
+        carry, wtrace = agent.warm_start(carry, env_state,
+                                         args.n_warmstart_iters)
+        logging.info("Warm start: %.2f +/- %.2f",
+                     float(wtrace["mean"][-1]), float(wtrace["std"][-1]))
+        if not args.no_plots and filepath is not None:
+            viz.plot_algorithm_result(
+                {k: np.asarray(v) for k, v in wtrace.items()},
+                filepath / "result_warmup")
+
+    if args.host_loop:
+        carry, env_state, track = agent.run_episode(carry, env_state,
+                                                    use_tqdm=True)
+    else:
+        carry, env_state, track = agent.run_episode_scan(carry, env_state,
+                                                         collect=False)
+    rewards = np.asarray(track["reward"])
+    acts = np.asarray(track["action"])
+    obs = np.asarray(track["obs"])
+    ret = float(rewards.sum())
+    logging.info("Return: %.2f over %d timesteps", ret, args.timesteps)
+    if hasattr(env, "success"):
+        logging.info("Success: %s", bool(env.success(env_state)))
+
+    power = float(signal_power(jnp.asarray(acts)))
+    sm, sm_max, sp, freq, act_norm = fft_smoothness(jnp.asarray(acts), dt)
+    logging.info("Smoothness: %.3f, Max: %.3f, Power: %.3f",
+                 float(sm), float(sm_max), power)
+
+    if not args.no_plots and filepath is not None:
+        viz.plot_sequence(obs, filepath / "observation_sequence")
+        viz.plot_sequence(acts, filepath / "action_sequence_all")
+        viz.plot_sequence(np.asarray(track["ess"]), filepath / "ess_history")
+        viz.plot_sequence(np.asarray(track["alpha"]),
+                          filepath / "alpha_history")
+        viz.plot_smoothness(np.asarray(sp), np.asarray(freq),
+                            np.asarray(act_norm), filepath / "smoothness")
+    if filepath is not None:
+        save_results(filepath, obs=obs, actions=acts, rewards=rewards,
+                     ess=np.asarray(track["ess"]),
+                     alphas=np.asarray(track["alpha"]),
+                     sm=float(sm), sm_max=float(sm_max), power=power,
+                     action_signal=np.asarray(act_norm))
+    return ret, track
+
+
+if __name__ == "__main__":
+    main(build_parser().parse_args())

@@ -1,0 +1,115 @@
+"""Episodic policy search runner.
+
+CLI-parity counterpart of the reference's policy-search entry point
+(reference: policy_search/run_policy_search.py): positional algorithm + env +
+policy, sampler subcommand, the canonical RBF prior hyperparameters, initial
+conditioning on action_0, success-rate tracking, npz results.
+
+Canonical config (reference Makefile:11-12):
+    python -m ppi_tpu.runners.run_policy_search Reps BallInACup RbfFeatures \
+        --epsilon 2.0 --n-iters 40 MonteCarlo --n-samples 128
+"""
+
+import argparse
+import logging
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ppi_tpu import viz
+from ppi_tpu.algorithms import ALGORITHMS, make_solver, solve
+from ppi_tpu.envs.episodic import EPISODIC_ENVS
+from ppi_tpu.policies import POLICY_NAMES, make_policy
+from ppi_tpu.samplers import BY_NAME as SAMPLER_NAMES
+from ppi_tpu.utils import experiment_dir, save_results, setup_logging, write_args
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("algorithm", choices=sorted(ALGORITHMS))
+    parser.add_argument("env", choices=sorted(EPISODIC_ENVS))
+    parser.add_argument("policy", choices=POLICY_NAMES)
+    parser.add_argument("--n-iters", type=int, default=50)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--dir", type=str, default=None)
+    parser.add_argument("--name", type=str, default="")
+    parser.add_argument("--force", action="store_true")
+    parser.add_argument("--plot", action="store_true")
+    # algorithm hyperparameters
+    parser.add_argument("--n-elites", type=int, default=10)
+    parser.add_argument("--alpha", type=float, default=0.9)
+    parser.add_argument("--base-entropy", type=float, default=-100.0)
+    parser.add_argument("--entropy-rate", type=float, default=0.99)
+    parser.add_argument("--epsilon", type=float, default=1.0)
+    parser.add_argument("--delta", type=float, default=1.0)
+
+    sub = parser.add_subparsers(title="sampling", dest="sampling",
+                                required=True)
+    for samp in sorted(set(SAMPLER_NAMES)):
+        sp = sub.add_parser(samp)
+        sp.add_argument("--n-samples", type=int, default=10)
+    return parser
+
+
+def main(args):
+    filepath = None
+    if args.dir is not None:
+        name = (f"{args.algorithm}_{args.env}_{args.policy}_{args.sampling}_"
+                f"{args.seed}_{args.name}")
+        filepath = experiment_dir(Path(args.dir), name, args.force)
+        if filepath is None:
+            print("experiment done!")
+            return None
+        write_args(args, filepath)
+    setup_logging(filepath, args)
+
+    env = EPISODIC_ENVS[args.env]()
+    # canonical prior hyperparameters (reference: run_policy_search.py:62-74)
+    family, policy = make_policy(
+        args.policy, env.t, env.dim_action, env.action_0,
+        covariance_in=jnp.array([1e2]),
+        covariance_out=jnp.diag(jnp.array([1e-3] * env.dim_action)),
+        lengthscale=float(np.sqrt(3e-2)), n_features=20, order=10,
+        sampler=args.sampling, use_derivatives=True, add_bias=True)
+    if env.condition:
+        policy = family.condition(policy, jnp.zeros(1), env.action_0[None, :])
+
+    solver = make_solver(args.algorithm, alpha=args.alpha,
+                         epsilon=args.epsilon, delta=args.delta,
+                         n_elites=args.n_elites, base_entropy=-200.0,
+                         entropy_rate=0.99, dimension=family.dim_features)
+
+    success_rate = []
+    eval_fn = jax.jit(env.evaluate)
+
+    def callback(i, f, actions, costs, state):
+        _, successes = eval_fn(None, actions)
+        rate = float(jnp.mean(1.0 * successes))
+        success_rate.append(rate)
+        logging.info("iter %d: cost %.3f +/- %.3f, success rate %.2f",
+                     i, float(jnp.mean(costs)), float(jnp.std(costs)), rate)
+        return False
+
+    policy, trace = solve(solver, family, policy, env.objective(),
+                          jax.random.key(args.seed), args.n_samples,
+                          args.n_iters, callback=callback)
+    logging.info("Success rate history: %s", success_rate)
+
+    trace = {k: np.asarray(v) for k, v in trace.items()}
+    if filepath is not None:
+        trace["episodes"] = args.n_samples * np.arange(args.n_iters)
+        trace["success_rate"] = np.asarray(success_rate)
+        save_results(filepath, **trace)
+    if args.plot and filepath is not None:
+        viz.plot_algorithm_result(trace, filepath / "result",
+                                  label=args.algorithm)
+        actions, _ = family.sample(policy, jax.random.key(1), 16)
+        viz.plot_policy_samples(np.asarray(actions)[..., :env.dim_action],
+                                filepath / "policy_samples")
+    return policy, trace, success_rate
+
+
+if __name__ == "__main__":
+    main(build_parser().parse_args())
