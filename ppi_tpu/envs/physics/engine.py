@@ -296,11 +296,50 @@ def passive_torque(model: ArticulatedModel, q, qd) -> jnp.ndarray:
     return tau
 
 
-def forward_dynamics(model: ArticulatedModel, q, qd, tau) -> jnp.ndarray:
+def _position_quantities(model: ArticulatedModel, q):
+    """Everything position-dependent in one function, so the full dynamics
+    needs exactly one jvp (velocities + Mdot) and one vjp (all generalized
+    forces) through the shared FK subgraph — XLA CSEs the primal between
+    them. This replaces 6+ independent FK/autodiff evaluations per step with
+    ~3 FK-equivalents (the single biggest step-rate lever on TPU, where the
+    rollout cost is op-count-bound)."""
     kin = fk(model, q)
-    m = mass_matrix(model, q)
-    rhs = (tau + gravity_torque(model, kin) + passive_torque(model, q, qd)
-           + contact_torque(model, q, qd) - bias_torque(model, q, qd))
+    jv, jw = body_jacobians(model, kin)
+    inertia_w = jnp.einsum("bij,bjk,blk->bil", kin["rot"], model.inertia,
+                           kin["rot"])
+    m = (jnp.einsum("b,bik,bil->kl", model.mass, jv, jv)
+         + jnp.einsum("bik,bij,bjl->kl", jw, inertia_w, jw)
+         + jnp.diag(model.armature))
+    body = model.sphere_body
+    if body.shape[0] > 0:
+        pts = (kin["pos"][body]
+               + jnp.einsum("sij,sj->si", kin["rot"][body], model.sphere_pos))
+    else:
+        pts = jnp.zeros((0, 3))
+    return m, pts, kin["com"]
+
+
+def forward_dynamics(model: ArticulatedModel, q, qd, tau) -> jnp.ndarray:
+    """M(q) qdd = tau + tau_passive + tau_contact + tau_gravity
+                  - Mdot qd + dT/dq.
+
+    The Coriolis term uses the Lagrangian identity C(q,qd) qd =
+    Mdot qd - dT/dq; dT/dq is the vjp of M with cotangent 0.5 qd qd^T,
+    gravity is the vjp of the body coms with cotangent m_b g, and the
+    contact torque is the vjp of the geom points with the Cartesian contact
+    forces — one combined reverse pass."""
+    fn = lambda qq: _position_quantities(model, qq)
+    (m, pts, coms), vjp_fn = jax.vjp(fn, q)
+    _, (m_dot, pts_dot, _) = jax.jvp(fn, (q,), (qd,))
+
+    if pts.shape[0] > 0:
+        forces = contact_forces(model, pts, pts_dot)
+    else:
+        forces = pts
+    cot_m = 0.5 * jnp.outer(qd, qd)                       # -> dT/dq
+    cot_coms = model.mass[:, None] * model.gravity[None, :]  # -> -dV/dq
+    (tau_q,) = vjp_fn((cot_m, forces, cot_coms))
+    rhs = tau + passive_torque(model, q, qd) + tau_q - m_dot @ qd
     return jnp.linalg.solve(m, rhs)
 
 

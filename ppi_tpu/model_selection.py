@@ -1,0 +1,106 @@
+"""Offline prior fitting (model selection).
+
+Counterpart of the reference's model-selection pipeline (reference:
+mpc/model_selection/extract_mavn.py, model_selection.py):
+
+  1. ``extract_matrix_normal_moments`` — fit a matrix-normal distribution to
+     windows of expert action data via the iterated flip-flop MLE
+     (reference: extract_mavn.py:176-184 uses m_projection_mavn with 5
+     iterations and update_out=True);
+  2. ``fit_kernel_hyperparams`` — fit a kernel's hyperparameters so its gram
+     matrix matches a target input covariance in Gaussian KL; the reference
+     uses autograd + SciPy L-BFGS-B (model_selection.py:127-154), here the
+     objective is differentiated with ``jax.grad`` and minimized with
+     in-graph Adam — fully on device.
+
+The fitted (mean, covariance_out, kernel params) tuples feed run_mpc the way
+``model_selection.npz`` does in the reference (run_mpc.py:53-61).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ppi_tpu import ops
+
+
+def action_windows(actions: jnp.ndarray, horizon: int, stride: int = 1):
+    """Slice an expert action log (T, d_a) into (N, horizon, d_a) windows."""
+    t = actions.shape[0]
+    starts = np.arange(0, t - horizon + 1, stride)
+    return jnp.stack([actions[s:s + horizon] for s in starts])
+
+
+def extract_matrix_normal_moments(windows: jnp.ndarray, iterations: int = 5):
+    """Unweighted matrix-normal MLE over expert action windows.
+
+    Returns (mean (H, d_a), covariance_in (H, H), covariance_out (d_a, d_a)).
+    """
+    n, h, d_a = windows.shape
+    log_w = jnp.zeros(n)
+    mean, cov_in, cov_out, _ = ops.m_projection_mavn(
+        log_w, windows, jnp.eye(h), jnp.eye(d_a),
+        iterations=iterations, update_out=True)
+    return mean, cov_in, cov_out
+
+
+@partial(jax.jit, static_argnames=("kernel_fn", "steps"))
+def fit_kernel_hyperparams(kernel_fn, t, target_cov, hyper0,
+                           lr: float = 0.05, steps: int = 1500):
+    """Minimize KL( N(0, target) || N(0, K_hyper(t, t)) ) over log-params.
+
+    kernel_fn(hyper, t1, t2) -> gram matrix (the functions in
+    ppi_tpu.policies.kernels). Log-parameterization keeps hyper > 0 without
+    box constraints. Returns (hyper_opt, kl_final).
+    """
+    h = t.shape[0]
+    zero = jnp.zeros(h)
+
+    def objective(log_hyper):
+        cov = kernel_fn(jnp.exp(log_hyper), t, t)
+        return ops.multivariate_gaussian_kl(zero, target_cov, zero, cov)
+
+    grad_fn = jax.value_and_grad(objective)
+
+    def body(carry, _):
+        x, m, v, i = carry
+        val, g = grad_fn(x)
+        g = jnp.where(jnp.isfinite(g), g, 0.0)
+        m = 0.9 * m + 0.1 * g
+        v = 0.999 * v + 0.001 * g * g
+        mhat = m / (1.0 - 0.9 ** (i + 1))
+        vhat = v / (1.0 - 0.999 ** (i + 1))
+        x = x - lr * mhat / (jnp.sqrt(vhat) + 1e-8)
+        return (x, m, v, i + 1), val
+
+    x0 = jnp.log(hyper0)
+    (x, _, _, _), vals = jax.lax.scan(
+        body, (x0, jnp.zeros_like(x0), jnp.zeros_like(x0), 0), None,
+        length=steps)
+    return jnp.exp(x), vals[-1]
+
+
+def select_model(expert_actions, horizon: int, kernels: dict, t=None):
+    """Full pipeline: expert data -> MN moments -> best-KL kernel per family.
+
+    kernels: {name: (kernel_fn, hyper0)}. Returns a dict like the reference's
+    model_selection.npz payload: per kernel name a dict with mean,
+    covariance_out, param, kl.
+    """
+    windows = action_windows(jnp.asarray(expert_actions), horizon)
+    mean, cov_in, cov_out = extract_matrix_normal_moments(windows)
+    if t is None:
+        t = jnp.arange(horizon, dtype=jnp.float32)
+    out = {}
+    for name, (kernel_fn, hyper0) in kernels.items():
+        hyper, kl = fit_kernel_hyperparams(kernel_fn, t, cov_in,
+                                           jnp.asarray(hyper0))
+        out[name] = {
+            "mean": np.asarray(mean.mean(axis=0)),
+            "covariance_out": np.asarray(cov_out),
+            "param": np.asarray(hyper),
+            "kl": float(kl),
+        }
+    return out

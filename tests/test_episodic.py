@@ -1,0 +1,95 @@
+"""Episodic policy-search stack: Test env convergence, ball-in-a-cup
+simulation invariants, and the full search loop."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ppi_tpu.algorithms import make_solver, solve_scan
+from ppi_tpu.envs.ball_in_a_cup import BallInCupSim
+from ppi_tpu.envs.episodic import BallInACup, TestEnv
+from ppi_tpu.policies import make_policy
+
+
+def rbf_policy(env, covariance_in=1e2):
+    fam, pol = make_policy(
+        "RbfFeatures", env.t, env.dim_action, env.action_0,
+        covariance_in=jnp.array([covariance_in]),
+        covariance_out=jnp.diag(jnp.array([1e-3] * env.dim_action)),
+        lengthscale=float(np.sqrt(3e-2)), n_features=20,
+        use_derivatives=True, add_bias=True)
+    if env.condition:
+        pol = fam.condition(pol, jnp.zeros(1), env.action_0[None, :])
+    return fam, pol
+
+
+class TestTestEnv:
+    def test_reps_converges_on_tracking(self):
+        env = TestEnv()
+        fam, pol = rbf_policy(env)
+        solver = make_solver("Reps", epsilon=2.0)
+        pol, trace = solve_scan(solver, fam, pol, env.objective(),
+                                jax.random.key(0), 64, 20)
+        assert float(trace["mean"][-1]) < 0.3 * float(trace["mean"][0])
+
+    def test_actions_to_joints_split(self):
+        env = TestEnv()
+        a = jnp.arange(2 * 3 * 4.0).reshape(2, 3, 4)
+        q, qd = env.map_actions_to_joints(a)
+        np.testing.assert_allclose(q, a[..., :2])
+        np.testing.assert_allclose(qd, a[..., 2:])
+
+
+class TestBallInCupSim:
+    def test_hold_is_stable_and_unviolated(self):
+        sim = BallInCupSim(stabilize_steps=100, cooldown_steps=50)
+        q0 = jnp.array([0.0, 0.0, 0.0, 1.5707])
+        T = 200
+        qs = jnp.tile(q0[None], (T, 1))
+        final = sim.execute_trajectory(q0, qs, jnp.zeros((T, 4)))
+        assert not bool(final.violated)
+        ball = np.asarray(final.particles[-1])
+        bottom, _, _ = sim.cup_frame(final.arm.qpos)
+        # ball hangs a string length below the cup
+        assert abs(np.linalg.norm(ball - np.asarray(bottom)) - 0.37) < 0.03
+
+    def test_ball_in_cup_detected_as_success(self):
+        sim = BallInCupSim()
+        q0 = jnp.array([0.0, 0.0, 0.0, 1.5707])
+        state = sim.reset(q0)
+        bottom, top, up = sim.cup_frame(q0)
+        # teleport the ball into the cup interior
+        inside = bottom + 0.03 * up
+        state = state.replace(
+            particles=state.particles.at[-1].set(inside),
+            max_pot_m=jnp.asarray(5.0), n_steps=jnp.asarray(100.0))
+        reward, success = sim.reward_and_success(state)
+        assert bool(success)
+        assert float(reward) > 0.5
+
+    def test_violation_freezes_and_penalizes(self):
+        sim = BallInCupSim()
+        q0 = jnp.array([0.0, 0.0, 0.0, 1.5707])
+        state = sim.reset(q0)
+        state = state.replace(violated=jnp.ones((), bool),
+                              n_steps=jnp.asarray(10.0),
+                              max_pot_m=jnp.asarray(0.0))
+        r_viol, s = sim.reward_and_success(state)
+        assert not bool(s)
+        state_ok = state.replace(violated=jnp.zeros((), bool))
+        r_ok, _ = sim.reward_and_success(state_ok)
+        assert float(r_viol) < float(r_ok)
+
+    def test_batch_evaluation_shapes(self):
+        env = BallInACup()
+        sim = env.sim
+        # shrink the episode for test speed
+        object.__setattr__(env, "sim", BallInCupSim(
+            stabilize_steps=20, cooldown_steps=20))
+        t = np.asarray(env.t)[:100]
+        acts = np.zeros((3, 100, 4), np.float32)
+        acts[..., 1] = 1.5707
+        costs, succ = env.evaluate(None, jnp.asarray(acts))
+        assert costs.shape == (3,) and succ.shape == (3,)
+        assert np.isfinite(np.asarray(costs)).all()
+        del sim, t
