@@ -278,6 +278,26 @@ def contact_torque(model: ArticulatedModel, q, qd) -> jnp.ndarray:
 # dynamics + integration
 # ---------------------------------------------------------------------------
 
+def solve_pd_small(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve a x = b for small positive-definite a via unrolled Gauss-Jordan
+    elimination (no pivoting — safe for PD mass matrices whose diagonals the
+    armature keeps healthy).
+
+    XLA's batched LU is pathologically slow for tiny matrices on TPU (the
+    6x6 solve measured ~68% of a whole physics step); this unrolls to ~5
+    fused elementwise ops per column on (..., n, n+1) arrays.
+    """
+    n = a.shape[-1]
+    aug = jnp.concatenate([a, b[..., None]], axis=-1)
+    idx = jnp.arange(n)
+    for k in range(n):
+        row_k = aug[..., k, :] / aug[..., k, k:k + 1]
+        factors = aug[..., :, k] * (idx != k)
+        aug = aug - factors[..., None] * row_k[..., None, :]
+        aug = aug.at[..., k, :].set(row_k)
+    return aug[..., :, n]
+
+
 def bias_torque(model: ArticulatedModel, q, qd) -> jnp.ndarray:
     """Coriolis/centrifugal generalized force C(q, qd) qd via the Lagrangian
     identity — two autodiff passes through mass_matrix."""
@@ -340,7 +360,7 @@ def forward_dynamics(model: ArticulatedModel, q, qd, tau) -> jnp.ndarray:
     cot_coms = model.mass[:, None] * model.gravity[None, :]  # -> -dV/dq
     (tau_q,) = vjp_fn((cot_m, forces, cot_coms))
     rhs = tau + passive_torque(model, q, qd) + tau_q - m_dot @ qd
-    return jnp.linalg.solve(m, rhs)
+    return solve_pd_small(m, rhs)
 
 
 def step(model: ArticulatedModel, state: PhysicsState, tau,
