@@ -55,7 +55,6 @@ def golden_section_min(
         c_new = b - _INV_PHI * (b - a)
         d_new = a + _INV_PHI * (b - a)
         # Reuse the surviving interior evaluation; evaluate only the new point.
-        c_val = jnp.where(shrink_right, c_new, d)
         f_known = jnp.where(shrink_right, fc, fd)
         f_new = fn(itf(jnp.where(shrink_right, c_new, d_new)))
         fc = jnp.where(shrink_right, f_new, f_known)
