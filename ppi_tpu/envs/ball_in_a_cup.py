@@ -31,8 +31,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from ppi_tpu.envs.physics import ModelBuilder, PhysicsState, fk
-from ppi_tpu.envs.physics.engine import HINGE, forward_dynamics
+from ppi_tpu.envs.physics import ModelBuilder, PhysicsState
+from ppi_tpu.envs.physics.engine import HINGE
 
 N_PARTICLES = 12          # string discretization (reference: 29 capsules)
 STRING_LENGTH = 0.37      # metres, anchor to ball
@@ -106,7 +106,12 @@ class BallInCupSim:
     ball_vel_penalty: float = 0.0
 
     def __post_init__(self):
-        object.__setattr__(self, "_model", _build_arm())
+        from ppi_tpu.envs.physics.engine_soa import (
+            SoaModel, make_body_frames_soa)
+        model = _build_arm()
+        object.__setattr__(self, "_model", model)
+        object.__setattr__(self, "_soa", SoaModel(model))
+        object.__setattr__(self, "_frames_soa", make_body_frames_soa(model))
 
     @property
     def effective_dt(self) -> float:
@@ -116,10 +121,10 @@ class BallInCupSim:
     def cup_frame(self, qpos):
         """(bottom, top, axis) of the cup in world coordinates. The cup hangs
         from the wrist; its mouth points up along the (rotated) wrist +z."""
-        kin = fk(self._model, qpos)
-        r, p = kin["rot"][3], kin["pos"][3]
+        rot, pos = self._frames_soa(qpos)
+        r, p = rot[3], pos[3]
         bottom = p + r @ CUP_OFFSET
-        up = r @ jnp.array([0.0, 0.0, 1.0])
+        up = r[:, 2]
         top = bottom + CUP_DEPTH * up
         return bottom, top, up
 
@@ -197,10 +202,12 @@ class BallInCupSim:
     def step(self, state: BicState, q_des, qd_des):
         """One control step: PD torque on the arm + PBD string update +
         reward-statistic accumulation. Returns (state, None)."""
+        from ppi_tpu.envs.physics.engine_soa import forward_dynamics_soa
         q, qd = state.arm.qpos, state.arm.qvel
         tau = jnp.asarray(P_GAINS) * (q_des - q) + jnp.asarray(D_GAINS) * (
             qd_des - qd)
-        qdd = forward_dynamics(self._model, q, qd, tau)
+        qdd = jnp.stack(forward_dynamics_soa(
+            self._soa, tuple(q), tuple(qd), tuple(tau)))
         qd_new = qd + self.dt * qdd
         q_new = q + self.dt * qd_new
         arm = PhysicsState(qpos=q_new, qvel=qd_new)
@@ -236,9 +243,8 @@ class BallInCupSim:
     def _ball_hits_robot(self, qpos, ball):
         """Early-stop constraint: ball too close to any arm link segment
         (reference: ball_in_a_cup.py:269-286 contact query)."""
-        kin = fk(self._model, qpos)
-        pts = kin["pos"]                       # joint origins (4, 3)
-        ends = jnp.concatenate([pts[1:], (pts[3] + kin["rot"][3]
+        rot, pts = self._frames_soa(qpos)      # joint origins (4, 3)
+        ends = jnp.concatenate([pts[1:], (pts[3] + rot[3]
                                           @ jnp.array([0.3, 0.0, 0.0]))[None]],
                                axis=0)
         a, b = pts, ends

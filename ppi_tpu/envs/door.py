@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from ppi_tpu.envs.physics import ModelBuilder, PhysicsState, fk, step
+from ppi_tpu.envs.physics import ModelBuilder, PhysicsState
 from ppi_tpu.envs.physics.engine import HINGE
 
 # dof indices
@@ -99,10 +99,16 @@ class Door:
     name = "door-v0"
 
     def __post_init__(self):
+        from ppi_tpu.envs.physics.engine_soa import (
+            make_single_step_soa, make_sites_soa)
         model, palm, handle = _build_model()
         object.__setattr__(self, "_model", model)
         object.__setattr__(self, "_palm_geom", palm)
         object.__setattr__(self, "_handle_geoms", handle)
+        # scalar-SoA fast path: fuses the whole substep into wide VPU kernels
+        object.__setattr__(self, "_step_soa",
+                           make_single_step_soa(model, self.dt, self.substeps))
+        object.__setattr__(self, "_sites_soa", make_sites_soa(model))
 
     @property
     def action_low(self):
@@ -133,11 +139,7 @@ class Door:
             -engaged * closed * self.lock_stiffness * qpos[DOOR])
 
     def _sites(self, qpos):
-        kin = fk(self._model, qpos)
-        body = self._model.sphere_body
-        pts = (kin["pos"][body]
-               + jnp.einsum("sij,sj->si", kin["rot"][body],
-                            self._model.sphere_pos))
+        pts = self._sites_soa(qpos)
         palm = pts[self._palm_geom]
         handle = 0.5 * (pts[self._handle_geoms[0]]
                         + pts[self._handle_geoms[1]])
@@ -148,7 +150,8 @@ class Door:
         q, qd = state.physics.qpos, state.physics.qvel
         tau_arm = self.kp * (target - q[:4]) - self.kd * qd[:4]
         tau = jnp.zeros(6).at[:4].set(tau_arm) + self._lock_torque(q)
-        phys = step(self._model, state.physics, tau, self.dt, self.substeps)
+        qpos, qvel = self._step_soa(q, qd, tau)
+        phys = PhysicsState(qpos=qpos, qvel=qvel)
 
         palm, handle = self._sites(phys.qpos)
         door_pos = phys.qpos[DOOR]

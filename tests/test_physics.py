@@ -215,3 +215,53 @@ class TestContacts:
         out = jax.vmap(run)(q0)
         assert np.isfinite(np.asarray(out[0])).all()
         assert np.isnan(np.asarray(out[1])).all()
+
+
+class TestSoaEngine:
+    """Cross-validation of the scalar-SoA RNEA pipeline against the
+    autodiff tensor engine (the readable oracle)."""
+
+    def test_matches_tensor_engine_with_contacts(self, rng):
+        from ppi_tpu.envs.door import Door
+        from ppi_tpu.envs.physics.engine_soa import (SoaModel,
+                                                     forward_dynamics_soa)
+        from ppi_tpu.envs.physics.engine import forward_dynamics
+        model = Door()._model
+        soa = SoaModel(model)
+        for _ in range(3):
+            q = jnp.asarray(rng.normal(size=6).astype(np.float32) * 0.5)
+            qd = jnp.asarray(rng.normal(size=6).astype(np.float32) * 2.0)
+            tau = jnp.asarray(rng.normal(size=6).astype(np.float32) * 3.0)
+            ref = np.asarray(forward_dynamics(model, q, qd, tau))
+            got = np.array([float(x) for x in
+                            forward_dynamics_soa(soa, tuple(q), tuple(qd),
+                                                 tuple(tau))])
+            np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-3)
+
+    def test_matches_tensor_engine_with_slide_joints(self, rng):
+        # mixed slide + hinge tree exercises the slide branch of the
+        # velocity-kinematics RNEA
+        from ppi_tpu.envs.physics.engine_soa import (SoaModel,
+                                                     forward_dynamics_soa)
+        from ppi_tpu.envs.physics.engine import forward_dynamics
+        b = ModelBuilder()
+        b.add_body(parent=-1, joint_type=SLIDE, axis=(1, 0, 0),
+                   offset_pos=(0, 0, 0.5), mass=1.0, damping=0.1,
+                   armature=0.01)
+        b.add_body(parent=0, joint_type=HINGE, axis=(0, 1, 0),
+                   offset_pos=(0, 0, 0), mass=0.5, com=(0, 0, -0.4),
+                   inertia=1e-3 * np.eye(3), damping=0.05, armature=0.01)
+        b.add_body(parent=1, joint_type=SLIDE, axis=(0, 0, 1),
+                   offset_pos=(0, 0, -0.4), mass=0.3, damping=0.05,
+                   armature=0.01)
+        model = b.finalize()
+        soa = SoaModel(model)
+        for _ in range(3):
+            q = jnp.asarray(rng.normal(size=3).astype(np.float32) * 0.4)
+            qd = jnp.asarray(rng.normal(size=3).astype(np.float32) * 1.5)
+            tau = jnp.asarray(rng.normal(size=3).astype(np.float32))
+            ref = np.asarray(forward_dynamics(model, q, qd, tau))
+            got = np.array([float(x) for x in
+                            forward_dynamics_soa(soa, tuple(q), tuple(qd),
+                                                 tuple(tau))])
+            np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-3)
