@@ -25,11 +25,12 @@ TIMESTEPS = 250
 
 
 def build_env(name):
+    from ppi_tpu.envs.cheetah import Cheetah
     from ppi_tpu.envs.classic import Cartpole, Pendulum
     from ppi_tpu.envs.door import Door
     from ppi_tpu.envs.reacher import Reacher
     return {"pendulum": Pendulum, "cartpole": Cartpole, "reacher": Reacher,
-            "door-v0": Door}[name]()
+            "door-v0": Door, "cheetah": Cheetah}[name]()
 
 
 def profile_one(env, policy_name, solver_name, n_samples, runs,
@@ -46,13 +47,16 @@ def profile_one(env, policy_name, solver_name, n_samples, runs,
                 horizon=HORIZON, n_samples=n_samples)
     carry = agent.init(pol, jax.random.key(0))
     es = env.reset(jax.random.key(1))
-    # compile
+    # compile + force completion (a host fetch, not just block_until_ready —
+    # remote backends can return from block early)
     action, carry, _ = agent.control_step(carry, es, jnp.asarray(0))
-    jax.block_until_ready(action)
+    _ = float(action.sum())
     t0 = time.perf_counter()
     for i in range(runs):
         action, carry, _ = agent.control_step(carry, es, jnp.asarray(i % 8))
-        jax.block_until_ready(action)
+    _ = float(action.sum())
+    # steady-state pipelined time per control step (the MPC loop is a
+    # sequential chain, so device time dominates; one sync at the end)
     return (time.perf_counter() - t0) / runs
 
 

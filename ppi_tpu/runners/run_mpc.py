@@ -24,6 +24,7 @@ import numpy as np
 from ppi_tpu import viz
 from ppi_tpu.algorithms import ALGORITHMS, make_solver
 from ppi_tpu.envs.classic import Cartpole, Pendulum
+from ppi_tpu.envs.cheetah import Cheetah
 from ppi_tpu.envs.door import Door
 from ppi_tpu.envs.reacher import Reacher
 from ppi_tpu.mpc import Mpc, fft_smoothness, signal_power
@@ -36,6 +37,7 @@ ENVS = {
     "cartpole": Cartpole,
     "reacher": Reacher,
     "door-v0": Door,
+    "cheetah": Cheetah,
 }
 
 
