@@ -155,7 +155,9 @@ class BallInCupSim:
             a, b = pred[:-1], pred[1:]
             diff = b - a
             dist = jnp.linalg.norm(diff, axis=-1, keepdims=True) + 1e-9
-            corr = (dist - seg) * diff / dist
+            # rope, not rod: only resist stretching (a compressed string
+            # exerts no force)
+            corr = jnp.maximum(dist - seg, 0.0) * diff / dist
             wa, wb = w[:-1, None], w[1:, None]
             denom = wa + wb + 1e-9
             da = jnp.zeros_like(pred).at[:-1].add(corr * wa / denom)
@@ -168,23 +170,30 @@ class BallInCupSim:
                                length=self.pbd_iterations)
 
         # ball-vs-cup contact: position projection against the cup solid.
-        # The cup is a capped cylinder shell: outer wall pushes a laterally
-        # approaching ball out, the outside bottom pushes a ball below the
-        # cup down, and the inside floor supports a ball that entered
-        # through the open top.
+        # The cup is a capped cylinder shell; the wall is a solid annulus
+        # [inner, wall_r] over the height band: its INNER face contains a
+        # ball that entered through the mouth, its OUTER face repels a
+        # laterally approaching ball (branch chosen by the wall midline).
         bottom, top, up = self.cup_frame(qpos)
         ball = pred[-1]
         rel = ball - bottom
         h = jnp.dot(rel, up)
         radial = rel - h * up
         r_norm = jnp.linalg.norm(radial) + 1e-9
+        r_dir = radial / r_norm
         wall_r = CUP_INNER_RADIUS + 0.008
+        mid_r = 0.5 * (CUP_INNER_RADIUS + wall_r)
 
-        # outer wall (ball beside the cup within its height band)
         height_band = (h > 0.0) & (h < CUP_DEPTH)
-        pen_wall = (wall_r + BALL_RADIUS) - r_norm
-        wall_hit = height_band & (pen_wall > 0.0) & (r_norm > CUP_INNER_RADIUS)
-        ball = ball + jnp.where(wall_hit, pen_wall, 0.0) * (radial / r_norm)
+        # inner face: cavity radius available to the ball centre
+        cavity_r = CUP_INNER_RADIUS - BALL_RADIUS
+        pen_in = r_norm - cavity_r
+        inner_hit = height_band & (r_norm < mid_r) & (pen_in > 0.0)
+        ball = ball - jnp.where(inner_hit, pen_in, 0.0) * r_dir
+        # outer face
+        pen_out = (wall_r + BALL_RADIUS) - r_norm
+        outer_hit = height_band & (r_norm >= mid_r) & (pen_out > 0.0)
+        ball = ball + jnp.where(outer_hit, pen_out, 0.0) * r_dir
 
         # outside bottom (ball just below the cup base)
         under = (r_norm <= wall_r + BALL_RADIUS) & (h < 0.0) \
@@ -244,8 +253,10 @@ class BallInCupSim:
         """Early-stop constraint: ball too close to any arm link segment
         (reference: ball_in_a_cup.py:269-286 contact query)."""
         rot, pts = self._frames_soa(qpos)      # joint origins (4, 3)
+        # forearm collision capsule stops short of the cup mount so a caught
+        # ball resting in the cup does not read as a robot collision
         ends = jnp.concatenate([pts[1:], (pts[3] + rot[3]
-                                          @ jnp.array([0.3, 0.0, 0.0]))[None]],
+                                          @ jnp.array([0.2, 0.0, 0.0]))[None]],
                                axis=0)
         a, b = pts, ends
         ab = b - a
@@ -253,7 +264,7 @@ class BallInCupSim:
                      / (jnp.einsum("li,li->l", ab, ab) + 1e-9), 0.0, 1.0)
         closest = a + t[:, None] * ab
         d = jnp.linalg.norm(ball[None] - closest, axis=-1)
-        return jnp.any(d < 0.06)
+        return jnp.any(d < 0.05)
 
     # ---- episode ----------------------------------------------------------
     def reset(self, q0):
