@@ -93,3 +93,27 @@ class TestBallInCupSim:
         assert costs.shape == (3,) and succ.shape == (3,)
         assert np.isfinite(np.asarray(costs)).all()
         del sim, t
+
+    def test_dropped_ball_is_caught(self):
+        """Physical feasibility: a ball released above the mouth falls in,
+        stays in, and scores as success (the catch mechanics end-to-end)."""
+        sim = BallInCupSim(stabilize_steps=10, cooldown_steps=10)
+        q0 = jnp.array([0.0, 0.0, 0.0, 1.5707])
+        state = sim.reset(q0)
+        _, top, _ = sim.cup_frame(q0)
+        parts = np.asarray(state.particles).copy()
+        parts[-1] = np.asarray(top) + np.array([0.01, 0.0, 0.10])
+        for i in range(1, parts.shape[0] - 1):
+            frac = i / (parts.shape[0] - 1)
+            parts[i] = (1 - frac) * parts[0] + frac * parts[-1]
+        state = state.replace(particles=jnp.asarray(parts),
+                              particles_prev=jnp.asarray(parts))
+        hold = jnp.zeros(4)
+
+        def body(s, _):
+            return sim.step(s, q0, hold), None
+
+        state, _ = jax.lax.scan(body, state, None, length=400)
+        reward, success = sim.reward_and_success(state)
+        assert bool(success)
+        assert not bool(state.violated)
