@@ -52,10 +52,21 @@ def save_results(path, **arrays):
     logging.info("results -> %s", Path(path) / "data.npz")
 
 
+def _is_prng_key(leaf) -> bool:
+    return hasattr(leaf, "dtype") and jax.numpy.issubdtype(
+        leaf.dtype, jax.dtypes.prng_key)
+
+
 def save_checkpoint(path, tree, step: int = 0):
-    """Serialize any pytree (policy state, PRNG key, counters) to one npz."""
+    """Serialize any pytree (policy state, PRNG key, counters) to one npz.
+    Typed PRNG keys are stored as their underlying key data."""
     leaves, treedef = jax.tree_util.tree_flatten(tree)
-    payload = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
+    payload = {}
+    for i, leaf in enumerate(leaves):
+        if _is_prng_key(leaf):
+            payload[f"key_{i}"] = np.asarray(jax.random.key_data(leaf))
+        else:
+            payload[f"leaf_{i}"] = np.asarray(leaf)
     payload["__step"] = np.asarray(step)
     np.savez(Path(path), **payload)
     return treedef
@@ -65,7 +76,12 @@ def load_checkpoint(path, like_tree):
     """Restore a pytree checkpoint into the structure of ``like_tree``."""
     data = np.load(Path(path))
     leaves, treedef = jax.tree_util.tree_flatten(like_tree)
-    restored = [jax.numpy.asarray(data[f"leaf_{i}"])
-                for i in range(len(leaves))]
+    restored = []
+    for i, like in enumerate(leaves):
+        if f"key_{i}" in data:
+            restored.append(jax.random.wrap_key_data(
+                jax.numpy.asarray(data[f"key_{i}"])))
+        else:
+            restored.append(jax.numpy.asarray(data[f"leaf_{i}"]))
     step = int(data["__step"])
     return jax.tree_util.tree_unflatten(treedef, restored), step
