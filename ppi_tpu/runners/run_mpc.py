@@ -26,6 +26,7 @@ from ppi_tpu.algorithms import ALGORITHMS, make_solver
 from ppi_tpu.envs.classic import Cartpole, Pendulum
 from ppi_tpu.envs.cheetah import Cheetah
 from ppi_tpu.envs.door import Door
+from ppi_tpu.envs.finger import FingerSpin
 from ppi_tpu.envs.reacher import Reacher
 from ppi_tpu.mpc import Mpc, fft_smoothness, signal_power
 from ppi_tpu.policies import POLICY_NAMES, design_moments, make_policy
@@ -38,6 +39,7 @@ ENVS = {
     "reacher": Reacher,
     "door-v0": Door,
     "cheetah": Cheetah,
+    "finger~spin": FingerSpin,
 }
 
 
