@@ -27,6 +27,7 @@ from ppi_tpu.envs.classic import Cartpole, Pendulum
 from ppi_tpu.envs.cheetah import Cheetah
 from ppi_tpu.envs.door import Door
 from ppi_tpu.envs.finger import FingerSpin
+from ppi_tpu.envs.hopper import Hopper
 from ppi_tpu.envs.reacher import Reacher
 from ppi_tpu.mpc import Mpc, fft_smoothness, signal_power
 from ppi_tpu.policies import POLICY_NAMES, design_moments, make_policy
@@ -40,6 +41,7 @@ ENVS = {
     "door-v0": Door,
     "cheetah": Cheetah,
     "finger~spin": FingerSpin,
+    "hopper": Hopper,
 }
 
 

@@ -18,6 +18,14 @@ jax.config.update("jax_platforms", _platform)
 if _platform == "cpu":
     jax.config.update("jax_num_cpu_devices", 8)
 
+# Persistent compilation cache: the scalar-SoA physics graphs compile in
+# seconds-to-tens-of-seconds; caching makes repeated test runs cheap.
+import pathlib  # noqa: E402
+_cache = pathlib.Path(__file__).parent.parent / ".jax_cache"
+_cache.mkdir(exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", str(_cache))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -75,3 +75,34 @@ class TestDoor:
         assert float(es.physics.qpos[DOOR]) > 0.5, es.physics.qpos
         r = np.asarray(track["reward"])
         assert r[-10:].mean() > r[:10].mean() + 1.0
+
+
+class TestLocomotion:
+    """Engine-backed locomotion/dexterity env family: finite dynamics under
+    random torques (MPC-level behavior is exercised on TPU; see RESULTS.md)."""
+
+    def test_cheetah_rollout_finite(self):
+        from ppi_tpu.envs.cheetah import Cheetah
+        env = Cheetah()
+        s0 = env.reset(jax.random.key(0))
+        acts = 15.0 * jax.random.normal(jax.random.key(1), (4, 30, 6))
+        _, rew = batch_rollout(env, s0, acts)
+        assert np.isfinite(np.asarray(rew)).all()
+
+    def test_hopper_rollout_finite(self):
+        from ppi_tpu.envs.hopper import Hopper
+        env = Hopper()
+        s0 = env.reset(jax.random.key(0))
+        acts = 20.0 * jax.random.normal(jax.random.key(1), (4, 30, 3))
+        _, rew = batch_rollout(env, s0, acts)
+        assert np.isfinite(np.asarray(rew)).all()
+
+    def test_finger_spinner_responds_to_contact(self):
+        from ppi_tpu.envs.finger import FingerSpin
+        env = FingerSpin()
+        s0 = env.reset(jax.random.key(0))
+        acts = 2.0 * jax.random.normal(jax.random.key(1), (8, 60, 2))
+        fs, rew = batch_rollout(env, s0, acts)
+        assert np.isfinite(np.asarray(rew)).all()
+        # at least one random flick makes the spinner move
+        assert np.abs(np.asarray(fs.physics.qvel[:, 2])).max() > 0.1
