@@ -285,3 +285,43 @@ class TestFftNoise:
         for beta in [0.5, 1.0, 2.0]:
             y = np.asarray(powerlaw_psd_gaussian(jax.random.key(2), beta, (2048, 64)))
             assert abs(y.std() - 1.0) < 0.1
+
+
+class TestPallasMomentMatch:
+    """The fused Pallas moment-match kernel (interpret mode on CPU) matches
+    the lax oracle, including under large mean offsets (centred single-pass)
+    and masked lanes."""
+
+    def test_matches_oracle(self, rng):
+        from ppi_tpu.ops.pallas_ops import m_projection_pallas
+        n, d = 300, 17
+        x = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+        lw = jnp.asarray(rng.normal(size=n).astype(np.float32))
+        mu0, s0, e0 = ops.m_projection(lw, x, use_pallas="never")
+        mu1, s1, e1 = m_projection_pallas(lw, x, interpret=True)
+        np.testing.assert_allclose(mu1, mu0, atol=1e-5)
+        np.testing.assert_allclose(s1, s0, atol=1e-5)
+        np.testing.assert_allclose(e1, e0, rtol=1e-4)
+
+    def test_large_mean_offset_precision(self, rng):
+        from ppi_tpu.ops.pallas_ops import m_projection_pallas
+        n, d = 256, 9
+        x = 100.0 + 0.01 * jnp.asarray(
+            rng.normal(size=(n, d)).astype(np.float32))
+        lw = jnp.zeros(n)
+        mu0, s0, _ = ops.m_projection(lw, x, use_pallas="never")
+        mu1, s1, _ = m_projection_pallas(lw, x, interpret=True)
+        np.testing.assert_allclose(mu1, mu0, rtol=1e-6)
+        # covariance scale 1e-4: centring must preserve it
+        np.testing.assert_allclose(np.diag(s1), np.diag(s0),
+                                   rtol=0.05, atol=1e-7)
+
+    def test_masked_lanes(self, rng):
+        from ppi_tpu.ops.pallas_ops import m_projection_pallas
+        n, d = 128, 8
+        x = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+        lw = jnp.zeros(n).at[10:20].set(-jnp.inf)
+        mu0, s0, e0 = ops.m_projection(lw, x, use_pallas="never")
+        mu1, s1, e1 = m_projection_pallas(lw, x, interpret=True)
+        np.testing.assert_allclose(mu1, mu0, atol=1e-5)
+        np.testing.assert_allclose(e1, e0, rtol=1e-4)
