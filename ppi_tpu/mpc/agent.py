@@ -135,6 +135,8 @@ class Mpc:
                        ess=stats.get("ess", jnp.zeros(())),
                        alpha=stats.get("alpha", jnp.zeros(())),
                        obs=self.env.observe(env_state))
+            if hasattr(env_state, "physics"):
+                out["qpos"] = env_state.physics.qpos  # for rendering
             if collect:
                 out["costs"] = stats["costs"]
             return (carry, env_state), out

@@ -1,0 +1,171 @@
+"""Episode rendering to GIF.
+
+Counterpart of the reference's video outputs (offscreen MuJoCo rendering to
+mp4/gif; reference: run_mpc.py:75-89, utils.py:33-70,
+ball_in_a_cup.py:258-267): schematic 2-D renderings of the on-device scenes
+drawn with matplotlib and written with imageio — no native video pipeline
+required. Each env module contributes a ``draw(ax, qpos, ...)`` closure; the
+writer rasterizes frames and assembles the GIF.
+"""
+
+from pathlib import Path
+
+import numpy as np
+
+
+def _fig(xlim, ylim, figsize=(5, 5)):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    fig, ax = plt.subplots(figsize=figsize)
+    ax.set_xlim(*xlim)
+    ax.set_ylim(*ylim)
+    ax.set_aspect("equal")
+    ax.axis("off")
+    return fig, ax
+
+
+def save_gif(path, draw_frame, n_frames: int, xlim=(-1.5, 1.5),
+             ylim=(-0.2, 2.2), fps: int = 25, stride: int = 1):
+    """Render ``draw_frame(ax, t)`` for t in range(0, n_frames, stride) and
+    write a GIF."""
+    import imageio.v2 as imageio
+
+    frames = []
+    for t in range(0, n_frames, stride):
+        fig, ax = _fig(xlim, ylim)
+        draw_frame(ax, t)
+        fig.canvas.draw()
+        buf = np.asarray(fig.canvas.buffer_rgba())[..., :3]
+        frames.append(buf.copy())
+        import matplotlib.pyplot as plt
+        plt.close(fig)
+    imageio.mimsave(Path(path), frames, fps=fps, loop=0)
+    return Path(path)
+
+
+def _chain_xz(frames_fn, qpos):
+    """(rot, pos) FK -> [(x, z), ...] joint-origin polyline."""
+    rot, pos = frames_fn(qpos)
+    pts = np.asarray(pos)
+    return pts[:, 0], pts[:, 2]
+
+
+def render_door(env, qpos_history, path, stride=2):
+    """Top-down schematic of the door task: arm links, door panel, latch."""
+    qpos_history = np.asarray(qpos_history)
+    from ppi_tpu.envs.physics.engine_soa import make_body_frames_soa
+    frames_fn = make_body_frames_soa(env._model)
+    sites = env._sites_soa
+
+    def draw(ax, t):
+        q = qpos_history[t]
+        rot, pos = frames_fn(q)
+        pos = np.asarray(pos)
+        # arm in the x-y plane (top-down)
+        palm, handle = env._sites(q)
+        xs = list(pos[:4, 0]) + [float(palm[0])]
+        ys = list(pos[:4, 1]) + [float(palm[1])]
+        ax.plot(xs, ys, "o-", lw=3, color="C0")
+        ax.plot([float(palm[0])], [float(palm[1])], "o", ms=10, color="C0")
+        # door panel: hinge + panel capsule endpoints
+        pts = np.asarray(sites(q))
+        hinge = pos[4, :2]
+        panel_end = pts[4, :2]  # d_b sphere
+        ax.plot([hinge[0], panel_end[0]], [hinge[1], panel_end[1]],
+                lw=5, color="C1")
+        ax.plot(*np.asarray(handle)[:2], "s", ms=8, color="C3")
+        ax.set_title(f"door={q[4]:.2f} latch={q[5]:.2f}")
+
+    return save_gif(path, draw, qpos_history.shape[0], xlim=(-0.3, 1.3),
+                    ylim=(-0.9, 0.7), stride=stride)
+
+
+def render_planar(env, qpos_history, path, stride=2, xlim=None):
+    """Side view (x-z) of a planar locomotor (cheetah/hopper)."""
+    qpos_history = np.asarray(qpos_history)
+    from ppi_tpu.envs.physics.engine_soa import make_body_frames_soa
+    frames_fn = make_body_frames_soa(env._model)
+    x_final = float(qpos_history[-1, 0])
+    if xlim is None:
+        xlim = (min(-1.0, x_final - 1), max(2.0, x_final + 1))
+
+    def draw(ax, t):
+        q = qpos_history[t]
+        rot, pos = frames_fn(q)
+        pos = np.asarray(pos)
+        ax.axhline(0.0, color="k", lw=1)
+        # draw each chain from torso through children by parent links
+        parents = env._model.parents
+        for b in range(len(parents)):
+            p = parents[b]
+            if p >= 0:
+                ax.plot([pos[p, 0], pos[b, 0]], [pos[p, 2], pos[b, 2]],
+                        "o-", lw=3, color="C0", ms=4)
+        ax.set_title(f"x={q[0]:.2f}")
+
+    return save_gif(path, draw, qpos_history.shape[0], xlim=xlim,
+                    ylim=(-0.2, 2.0), stride=stride)
+
+
+def render_ball_in_a_cup(sim, qpos_history, particles_history, path,
+                         stride=4):
+    """Side view (x-z) of the WAM + string + ball + cup."""
+    qpos_history = np.asarray(qpos_history)
+    particles_history = np.asarray(particles_history)
+
+    def draw(ax, t):
+        q = qpos_history[t]
+        parts = particles_history[t]
+        rot, pos = sim._frames_soa(q)
+        pos = np.asarray(pos)
+        ax.plot(pos[:, 0], pos[:, 2], "o-", lw=4, color="C0", ms=5)
+        bottom, top, up = sim.cup_frame(q)
+        bottom, top = np.asarray(bottom), np.asarray(top)
+        ax.plot([pos[-1, 0], bottom[0]], [pos[-1, 2], bottom[2]], lw=3,
+                color="C0")
+        # cup as a U: two wall lines
+        side = np.cross(np.asarray(up), [0, 1, 0])[[0, 2]]
+        r = 0.0345
+        for s in (-1, 1):
+            ax.plot([bottom[0] + s * r * side[0], top[0] + s * r * side[0]],
+                    [bottom[2] + s * r * side[1], top[2] + s * r * side[1]],
+                    lw=2, color="C1")
+        ax.plot([bottom[0] - r * side[0], bottom[0] + r * side[0]],
+                [bottom[2] - r * side[1], bottom[2] + r * side[1]],
+                lw=2, color="C1")
+        ax.plot(parts[:, 0], parts[:, 2], "-", lw=1, color="gray")
+        ax.plot(parts[-1, 0], parts[-1, 2], "o", ms=8, color="C3")
+
+    return save_gif(path, draw, qpos_history.shape[0], xlim=(-0.6, 1.0),
+                    ylim=(0.6, 2.4), stride=stride)
+
+
+def trace_bic_trajectory(sim, q0, qs, qds):
+    """Run a BiC trajectory recording (qpos, particles) per step — the
+    rendering companion to the streaming execute_trajectory."""
+    import jax
+    import jax.numpy as jnp
+
+    state = sim.reset(q0)
+
+    def stab(s, _):
+        s = sim.step(s, q0, jnp.zeros(4))
+        return s, (s.arm.qpos, s.particles)
+
+    state, _ = jax.lax.scan(stab, state, None, length=sim.stabilize_steps)
+
+    def traj(s, setpoint):
+        s = sim.step(s, setpoint[0], setpoint[1])
+        return s, (s.arm.qpos, s.particles)
+
+    state, (q_hist, p_hist) = jax.lax.scan(traj, state, (qs, qds))
+
+    def cool(s, _):
+        s = sim.step(s, qs[-1], jnp.zeros(4))
+        return s, (s.arm.qpos, s.particles)
+
+    state, (q2, p2) = jax.lax.scan(cool, state, None,
+                                   length=sim.cooldown_steps)
+    return (jnp.concatenate([q_hist, q2]), jnp.concatenate([p_hist, p2]),
+            state)

@@ -59,6 +59,8 @@ def build_parser():
     parser.add_argument("--name", type=str, default="")
     parser.add_argument("--force", action="store_true")
     parser.add_argument("--no-plots", action="store_true")
+    parser.add_argument("--render", action="store_true",
+                        help="save a schematic episode GIF (engine envs)")
     parser.add_argument("--anneal", type=float, default=1.0)
     parser.add_argument("--host-loop", action="store_true",
                         help="per-step host loop instead of one episode scan")
@@ -158,6 +160,18 @@ def main(args):
                           filepath / "alpha_history")
         viz.plot_smoothness(np.asarray(sp), np.asarray(freq),
                             np.asarray(act_norm), filepath / "smoothness")
+    if args.render and filepath is not None and "qpos" in track:
+        from ppi_tpu import render as render_mod
+        qh = np.asarray(track["qpos"])
+        try:
+            if args.env == "door-v0":
+                render_mod.render_door(env, qh, filepath / "episode.gif")
+            else:
+                render_mod.render_planar(env, qh, filepath / "episode.gif")
+            logging.info("rendered %s", filepath / "episode.gif")
+        except Exception:
+            logging.exception("rendering failed")
+
     if filepath is not None:
         save_results(filepath, obs=obs, actions=acts, rewards=rewards,
                      ess=np.asarray(track["ess"]),
