@@ -37,6 +37,9 @@ def build_parser():
     parser.add_argument("--name", type=str, default="")
     parser.add_argument("--force", action="store_true")
     parser.add_argument("--plot", action="store_true")
+    parser.add_argument("--render", action="store_true",
+                        help="save a GIF of the learned mean trajectory "
+                             "(BallInACup)")
     # algorithm hyperparameters
     parser.add_argument("--n-elites", type=int, default=10)
     parser.add_argument("--alpha", type=float, default=0.9)
@@ -102,6 +105,22 @@ def main(args):
         trace["episodes"] = args.n_samples * np.arange(args.n_iters)
         trace["success_rate"] = np.asarray(success_rate)
         save_results(filepath, **trace)
+    if args.render and args.env == "BallInACup":
+        from ppi_tpu.render import render_ball_in_a_cup, trace_bic_trajectory
+        mean_actions = family.predict_mean(policy)
+        if family.use_derivatives:
+            dfeat = family.dfeat(policy, policy.t)
+            dxs = dfeat @ policy.mean
+            mean_actions = jnp.concatenate([mean_actions, dxs], axis=-1)
+        qs, qds = env.map_actions_to_joints(mean_actions[None])
+        qh, ph, final = trace_bic_trajectory(env.sim, env.q_start,
+                                             qs[0], qds[0])
+        out = (filepath / "ball_in_a_cup.gif") if filepath else             Path("ball_in_a_cup.gif")
+        render_ball_in_a_cup(env.sim, qh, ph, out, stride=8)
+        r, success = env.sim.reward_and_success(final)
+        logging.info("rendered mean trajectory -> %s (success=%s)",
+                     out, bool(success))
+
     if args.plot and filepath is not None:
         viz.plot_algorithm_result(trace, filepath / "result",
                                   label=args.algorithm)
