@@ -1,0 +1,117 @@
+"""Planar biped walker on the articulated physics core.
+
+Engine-backed counterpart of the gym Walker2d-v2 / dm_control walker~walk
+rows of the reference's env zoo (reference: run_mpc.py:36-48): an upright
+planar torso with two 3-joint legs; reward = forward velocity + upright
+alive bonus - control cost."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ppi_tpu.envs.physics import ModelBuilder, PhysicsState
+from ppi_tpu.envs.physics.engine import HINGE, SLIDE
+
+NQ = 9
+TORSO_Z0 = 1.25
+
+
+def _leg(b, torso):
+    thigh = b.add_body(parent=torso, joint_type=HINGE, axis=(0, 1, 0),
+                       offset_pos=(0, 0, -0.2), mass=2.0, com=(0, 0, -0.2),
+                       inertia=np.diag([0.02] * 3), damping=0.3,
+                       armature=0.05, q_limit=(-1.0, 1.0), limit_k=60.0)
+    shin = b.add_body(parent=thigh, joint_type=HINGE, axis=(0, 1, 0),
+                      offset_pos=(0, 0, -0.4), mass=1.2, com=(0, 0, -0.2),
+                      inertia=np.diag([0.01] * 3), damping=0.25,
+                      armature=0.04, q_limit=(-1.5, 0.05), limit_k=60.0)
+    foot = b.add_body(parent=shin, joint_type=HINGE, axis=(0, 1, 0),
+                      offset_pos=(0, 0, -0.4), mass=0.6, com=(0.06, 0, -0.04),
+                      inertia=np.diag([0.003] * 3), damping=0.2,
+                      armature=0.03, q_limit=(-0.7, 0.7), limit_k=60.0)
+    toe = b.add_sphere(foot, (0.14, 0, -0.05), 0.05)
+    heel = b.add_sphere(foot, (-0.05, 0, -0.05), 0.05)
+    return toe, heel
+
+
+def _build_model():
+    b = ModelBuilder()
+    b.add_body(parent=-1, joint_type=SLIDE, axis=(1, 0, 0),
+               offset_pos=(0, 0, TORSO_Z0), mass=1e-3, damping=0.0,
+               armature=1e-4)
+    b.add_body(parent=0, joint_type=SLIDE, axis=(0, 0, 1),
+               offset_pos=(0, 0, 0), mass=1e-3, damping=0.0, armature=1e-4)
+    torso = b.add_body(parent=1, joint_type=HINGE, axis=(0, 1, 0),
+                       offset_pos=(0, 0, 0), mass=4.0, com=(0, 0, 0.15),
+                       inertia=np.diag([0.06, 0.1, 0.06]), damping=0.05,
+                       armature=0.01)
+    left = _leg(b, torso)
+    right = _leg(b, torso)
+    plane = b.add_plane((0, 0, 1), 0.0)
+    torso_geom = b.add_sphere(torso, (0, 0, 0.15), 0.12)
+    for g in (*left, *right, torso_geom):
+        b.add_contact_sphere_plane(g, plane)
+    b.contact_stiffness = 1.5e4
+    b.contact_damping = 150.0
+    b.friction_mu = 1.2
+    b.friction_vel_k = 150.0
+    return b.finalize()
+
+
+class WalkerState(struct.PyTreeNode):
+    physics: PhysicsState
+    t: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class Walker:
+    action_dim: int = 6
+    dt: float = 0.02
+    substeps: int = 4
+    max_torque: float = 35.0
+
+    name = "walker~walk"
+
+    def __post_init__(self):
+        from ppi_tpu.envs.physics.engine_soa import make_single_step_soa
+        model = _build_model()
+        object.__setattr__(self, "_model", model)
+        object.__setattr__(self, "_step_soa",
+                           make_single_step_soa(model, self.dt, self.substeps))
+
+    @property
+    def action_low(self):
+        return -self.max_torque * jnp.ones(6)
+
+    @property
+    def action_high(self):
+        return self.max_torque * jnp.ones(6)
+
+    def reset(self, key):
+        del key
+        qpos = jnp.zeros(NQ).at[3].set(0.1).at[4].set(-0.2).at[6].set(-0.1) \
+            .at[7].set(-0.1)
+        return WalkerState(physics=PhysicsState(qpos=qpos, qvel=jnp.zeros(NQ)),
+                           t=jnp.zeros((), jnp.int32))
+
+    def step(self, state, action):
+        tau_leg = jnp.clip(action, self.action_low, self.action_high)
+        tau = jnp.zeros(NQ).at[3:].set(tau_leg)
+        qpos, qvel = self._step_soa(state.physics.qpos, state.physics.qvel,
+                                    tau)
+        phys = PhysicsState(qpos=qpos, qvel=qvel)
+        z = qpos[1] + TORSO_Z0
+        pitch = qpos[2]
+        healthy = (z > 0.8) & (jnp.abs(pitch) < 0.8)
+        reward = (qvel[0]
+                  + 1.0 * healthy
+                  - 2.0 * (~healthy)
+                  - 0.05 * jnp.mean((tau_leg / self.max_torque) ** 2))
+        return state.replace(physics=phys, t=state.t + 1), reward
+
+    def observe(self, state):
+        q, qd = state.physics.qpos, state.physics.qvel
+        return jnp.concatenate([q[1:], qd])

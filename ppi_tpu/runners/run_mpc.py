@@ -28,6 +28,7 @@ from ppi_tpu.envs.cheetah import Cheetah
 from ppi_tpu.envs.door import Door
 from ppi_tpu.envs.finger import FingerSpin
 from ppi_tpu.envs.hopper import Hopper
+from ppi_tpu.envs.walker import Walker
 from ppi_tpu.envs.reacher import Reacher
 from ppi_tpu.mpc import Mpc, fft_smoothness, signal_power
 from ppi_tpu.policies import POLICY_NAMES, design_moments, make_policy
@@ -42,6 +43,7 @@ ENVS = {
     "cheetah": Cheetah,
     "finger~spin": FingerSpin,
     "hopper": Hopper,
+    "walker~walk": Walker,
 }
 
 
