@@ -27,6 +27,7 @@ from ppi_tpu.envs.classic import Cartpole, Pendulum
 from ppi_tpu.envs.cheetah import Cheetah
 from ppi_tpu.envs.door import Door
 from ppi_tpu.envs.finger import FingerSpin
+from ppi_tpu.envs.hammer import Hammer
 from ppi_tpu.envs.hopper import Hopper
 from ppi_tpu.envs.walker import Walker
 from ppi_tpu.envs.reacher import Reacher
@@ -42,6 +43,7 @@ ENVS = {
     "door-v0": Door,
     "cheetah": Cheetah,
     "finger~spin": FingerSpin,
+    "hammer-v0": Hammer,
     "hopper": Hopper,
     "walker~walk": Walker,
 }

@@ -106,3 +106,31 @@ class TestLocomotion:
         assert np.isfinite(np.asarray(rew)).all()
         # at least one random flick makes the spinner move
         assert np.abs(np.asarray(fs.physics.qvel[:, 2])).max() > 0.1
+
+
+class TestHammer:
+    def test_scripted_strikes_seat_the_nail(self):
+        from ppi_tpu.envs.hammer import Hammer
+        env = Hammer()
+        s0 = env.reset(jax.random.key(0))
+
+        def script(s, t):
+            phase = (t % 25) / 25.0
+            target = jnp.where(phase < 0.5,
+                               jnp.array([0.0, 0.85, -1.25, 0.55]),
+                               jnp.array([0.0, 0.3, -1.6, 0.9]))
+            s, r = env.step(s, target)
+            return s, s.physics.qpos[4]
+
+        s, depth = jax.lax.scan(script, s0, jnp.arange(120))
+        assert np.isfinite(np.asarray(depth)).all()
+        assert bool(env.success(s)), float(depth.max())
+
+    def test_nail_holds_without_impacts(self):
+        from ppi_tpu.envs.hammer import Hammer
+        env = Hammer()
+        s0 = env.reset(jax.random.key(0))
+        hold = s0.physics.qpos[:4]
+        s, _ = jax.lax.scan(lambda s, _: env.step(s, hold), s0, None,
+                            length=60)
+        assert float(s.physics.qpos[4]) < 1e-3  # friction holds the nail
