@@ -215,8 +215,9 @@ class BallInCupSim:
         q, qd = state.arm.qpos, state.arm.qvel
         tau = jnp.asarray(P_GAINS) * (q_des - q) + jnp.asarray(D_GAINS) * (
             qd_des - qd)
-        qdd = jnp.stack(forward_dynamics_soa(
-            self._soa, tuple(q), tuple(qd), tuple(tau)))
+        qdd_tuple, _ = forward_dynamics_soa(
+            self._soa, tuple(q), tuple(qd), tuple(tau))
+        qdd = jnp.stack(qdd_tuple)
         qd_new = qd + self.dt * qdd
         q_new = q + self.dt * qd_new
         arm = PhysicsState(qpos=q_new, qvel=qd_new)

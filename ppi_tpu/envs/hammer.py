@@ -11,7 +11,8 @@ mirroring the mj_envs terms) are preserved.
 
 Scene: arm base at origin; a bench at (0.68, 0, 0.9) with a vertical nail
 pointing up (the raised hammer strikes downward); the nail is a slide joint
-with heavy damping (dry-friction stand-in), so only impacts drive it in.
+held by dry (Coulomb) friction, so gravity cannot seat it — only impacts
+drive it in.
 """
 
 import dataclasses
@@ -46,9 +47,10 @@ def _build_model():
     # --- nail: vertical, driven downward into the bench at (0.68, 0, 0.9);
     # slide axis points down so q > 0 means "seated deeper" ---
     b.add_body(parent=-1, joint_type=SLIDE, axis=(0, 0, -1),
-               offset_pos=(0.68, 0.0, 0.90), mass=0.4, damping=40.0,
+               offset_pos=(0.68, 0.0, 0.90), mass=0.4, damping=10.0,
                armature=0.01, spring_k=0.0, spring_ref=0.0,
-               q_limit=(0.0, NAIL_DEPTH + 0.01), limit_k=500.0)
+               friction_loss=20.0,
+               q_limit=(0.0, NAIL_DEPTH + 0.01), limit_k=8e3)
 
     head = b.add_sphere(WRIST, (0.22, 0, 0), 0.045)    # hammer head
     nail_a = b.add_sphere(NAIL, (0.0, 0, 0.060), 0.018)  # nail head (top)

@@ -53,6 +53,7 @@ class ArticulatedModel(struct.PyTreeNode):
     com: jax.Array             # (nb, 3) body com in joint frame
     inertia: jax.Array         # (nb, 3, 3) about com, in joint frame
     damping: jax.Array         # (nb,)
+    friction_loss: jax.Array   # (nb,) dry (Coulomb) friction force bound
     armature: jax.Array        # (nb,) added rotor inertia on the diagonal
     spring_k: jax.Array        # (nb,) joint spring stiffness
     spring_ref: jax.Array      # (nb,) spring setpoint
@@ -307,7 +308,10 @@ def bias_torque(model: ArticulatedModel, q, qd) -> jnp.ndarray:
 
 
 def passive_torque(model: ArticulatedModel, q, qd) -> jnp.ndarray:
-    """Damping, joint springs and soft limit torques."""
+    """Damping, joint springs and soft limit torques. Dry (Coulomb)
+    friction is NOT a torque here: it is applied as a velocity-level impulse
+    clamp in the integrator (exact stiction, unconditionally stable — a
+    smooth tanh force chatters under explicit integration)."""
     tau = -model.damping * qd
     tau = tau - model.spring_k * (q - model.spring_ref)
     lo, hi = model.q_limit[:, 0], model.q_limit[:, 1]
@@ -369,10 +373,18 @@ def step(model: ArticulatedModel, state: PhysicsState, tau,
     substeps (the reference's nsubsteps convention; reference:
     ball_in_a_cup.py:178-184)."""
     h = dt / substeps
+    has_friction = bool(np.any(np.asarray(model.friction_loss) > 0.0))
 
     def sub(state, _):
         qdd = forward_dynamics(model, state.qpos, state.qvel, tau)
         qvel = state.qvel + h * qdd
+        if has_friction:
+            # velocity-level Coulomb friction (MuJoCo frictionloss
+            # analogue): remove up to loss*h/M_jj of velocity per substep;
+            # |qvel| below the cap sticks at exactly zero.
+            mdiag = jnp.diagonal(mass_matrix(model, state.qpos))
+            cap = model.friction_loss * h / mdiag
+            qvel = qvel - jnp.clip(qvel, -cap, cap)
         qpos = state.qpos + h * qvel
         return PhysicsState(qpos=qpos, qvel=qvel), None
 
@@ -404,7 +416,8 @@ class ModelBuilder:
     def add_body(self, parent: int, joint_type: int, axis, offset_pos,
                  offset_rot=None, mass=1.0, com=(0.0, 0.0, 0.0),
                  inertia=None, damping=0.1, armature=0.01, spring_k=0.0,
-                 spring_ref=0.0, q_limit=(-1e6, 1e6), limit_k=0.0) -> int:
+                 spring_ref=0.0, q_limit=(-1e6, 1e6), limit_k=0.0,
+                 friction_loss=0.0) -> int:
         if offset_rot is None:
             offset_rot = np.eye(3)
         if inertia is None:
@@ -416,7 +429,8 @@ class ModelBuilder:
             offset_rot=np.asarray(offset_rot, np.float32),
             mass=float(mass), com=np.asarray(com, np.float32),
             inertia=np.asarray(inertia, np.float32),
-            damping=float(damping), armature=float(armature),
+            damping=float(damping), friction_loss=float(friction_loss),
+            armature=float(armature),
             spring_k=float(spring_k), spring_ref=float(spring_ref),
             q_limit=np.asarray(q_limit, np.float32),
             limit_k=float(limit_k)))
@@ -455,6 +469,7 @@ class ModelBuilder:
             com=jnp.asarray(get("com")),
             inertia=jnp.asarray(get("inertia")),
             damping=jnp.asarray(get("damping")),
+            friction_loss=jnp.asarray(get("friction_loss")),
             armature=jnp.asarray(get("armature")),
             spring_k=jnp.asarray(get("spring_k")),
             spring_ref=jnp.asarray(get("spring_ref")),

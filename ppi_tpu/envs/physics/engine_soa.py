@@ -120,6 +120,7 @@ class SoaModel:
         self.com = [_const_v3(g(model.com)[b]) for b in range(nb)]
         self.inertia = [_const_m3(g(model.inertia)[b]) for b in range(nb)]
         self.damping = [float(v) for v in g(model.damping)]
+        self.friction_loss = [float(v) for v in g(model.friction_loss)]
         self.armature = [float(v) for v in g(model.armature)]
         self.spring_k = [float(v) for v in g(model.spring_k)]
         self.spring_ref = [float(v) for v in g(model.spring_ref)]
@@ -430,7 +431,8 @@ def forward_dynamics_soa(m: SoaModel, q, qd, tau):
             col = (v3_cross(a_j, v3_sub(pts[s], o_j)) if hinge else a_j)
             t = t + v3_dot(col, forces[s])
         rhs.append(t)
-    return solve_pd_scalar(mass, tuple(rhs))
+    return solve_pd_scalar(mass, tuple(rhs)), tuple(
+        mass[k][k] for k in range(m.nq))
 
 
 def make_single_step_soa(model: ArticulatedModel, dt: float,
@@ -450,8 +452,14 @@ def make_single_step_soa(model: ArticulatedModel, dt: float,
 
         def sub(carry, _):
             q, qd = carry
-            qdd = forward_dynamics_soa(m, q, qd, tu)
-            qd2 = tuple(qd[j] + h * qdd[j] for j in range(nq))
+            qdd, mdiag = forward_dynamics_soa(m, q, qd, tu)
+            qd2 = list(qd[j] + h * qdd[j] for j in range(nq))
+            for j in range(nq):
+                # velocity-level Coulomb friction: exact stiction
+                if m.friction_loss[j] > 0.0:
+                    cap = m.friction_loss[j] * h / mdiag[j]
+                    qd2[j] = qd2[j] - jnp.clip(qd2[j], -cap, cap)
+            qd2 = tuple(qd2)
             q2 = tuple(q[j] + h * qd2[j] for j in range(nq))
             return (q2, qd2), None
 

@@ -116,8 +116,8 @@ class TestHammer:
 
         def script(s, t):
             phase = (t % 25) / 25.0
-            target = jnp.where(phase < 0.5,
-                               jnp.array([0.0, 0.85, -1.25, 0.55]),
+            target = jnp.where(phase < 0.6,
+                               jnp.array([0.0, 1.12, -1.51, -0.04]),
                                jnp.array([0.0, 0.3, -1.6, 0.9]))
             s, r = env.step(s, target)
             return s, s.physics.qpos[4]

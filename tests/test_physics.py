@@ -235,7 +235,7 @@ class TestSoaEngine:
             ref = np.asarray(forward_dynamics(model, q, qd, tau))
             got = np.array([float(x) for x in
                             forward_dynamics_soa(soa, tuple(q), tuple(qd),
-                                                 tuple(tau))])
+                                                 tuple(tau))[0]])
             np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-3)
 
     def test_matches_tensor_engine_with_slide_joints(self, rng):
@@ -263,5 +263,5 @@ class TestSoaEngine:
             ref = np.asarray(forward_dynamics(model, q, qd, tau))
             got = np.array([float(x) for x in
                             forward_dynamics_soa(soa, tuple(q), tuple(qd),
-                                                 tuple(tau))])
+                                                 tuple(tau))[0]])
             np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-3)
