@@ -29,8 +29,10 @@ def build_env(name):
     from ppi_tpu.envs.classic import Cartpole, Pendulum
     from ppi_tpu.envs.door import Door
     from ppi_tpu.envs.reacher import Reacher
+    from ppi_tpu.envs.standup import HumanoidStandup
     return {"pendulum": Pendulum, "cartpole": Cartpole, "reacher": Reacher,
-            "door-v0": Door, "cheetah": Cheetah}[name]()
+            "door-v0": Door, "cheetah": Cheetah,
+            "humanoid-standup": HumanoidStandup}[name]()
 
 
 def profile_one(env, policy_name, solver_name, n_samples, runs,

@@ -29,6 +29,7 @@ from ppi_tpu.envs.door import Door
 from ppi_tpu.envs.finger import FingerSpin
 from ppi_tpu.envs.hammer import Hammer
 from ppi_tpu.envs.hopper import Hopper
+from ppi_tpu.envs.standup import HumanoidStandup
 from ppi_tpu.envs.walker import Walker
 from ppi_tpu.envs.reacher import Reacher
 from ppi_tpu.mpc import Mpc, fft_smoothness, signal_power
@@ -45,6 +46,7 @@ ENVS = {
     "finger~spin": FingerSpin,
     "hammer-v0": Hammer,
     "hopper": Hopper,
+    "humanoid-standup": HumanoidStandup,
     "walker~walk": Walker,
 }
 
