@@ -1,0 +1,47 @@
+# Canonical experiment targets (parity with the reference Makefile:8-21,
+# plus the new locomotion/manipulation scenes).
+
+PY ?= python
+
+.PHONY: test bench opt policy-search mpc-cem mpc-lbps mpc-essps profile native
+
+test:
+	$(PY) -m pytest tests/ -x -q
+
+bench:
+	$(PY) bench.py
+
+# reference Makefile:8-9
+opt:
+	$(PY) -m ppi_tpu.runners.run_opt Reps NoisySphere --dimension 20 \
+	    --dir results/opt mc --n-samples 100
+
+# reference Makefile:11-12
+policy-search:
+	$(PY) -m ppi_tpu.runners.run_policy_search Reps BallInACup RbfFeatures \
+	    --epsilon 2.0 --n-iters 40 --render --dir results/ps \
+	    MonteCarlo --n-samples 128
+
+# reference Makefile:14-15
+mpc-cem:
+	$(PY) -m ppi_tpu.runners.run_mpc Cem door-v0 WhiteNoiseIid \
+	    --n-elites 10 --dir results/mpc MonteCarlo --n-samples 64
+
+# reference Makefile:17-18
+mpc-lbps:
+	$(PY) -m ppi_tpu.runners.run_mpc Lbps door-v0 SquaredExponentialKernel \
+	    --delta 0.9 --n-iters 2 --anneal 0.5 --lengthscale 0.08 \
+	    --dir results/mpc MonteCarlo --n-samples 64
+
+# reference Makefile:20-21
+mpc-essps:
+	$(PY) -m ppi_tpu.runners.run_mpc Essps hammer-v0 RffFeatures \
+	    --n-elites 10 --lengthscale 0.15 --dir results/mpc \
+	    MonteCarlo --n-samples 128
+
+# reference profile_mpc.py
+profile:
+	$(PY) -m ppi_tpu.runners.profile_mpc --env humanoid-standup
+
+native:
+	$(MAKE) -C native
