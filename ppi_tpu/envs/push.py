@@ -1,0 +1,143 @@
+"""Tabletop push-to-target on the articulated physics core.
+
+Engine-backed counterpart of the FetchPickAndPlace-v1 row of the
+reference's env zoo (reference: run_mpc.py:47) in its push variant: an arm
+must push a friction-held box across a table to a target location. Grasping
+is out of scope for a paddle end effector; pushing preserves the Fetch task
+class (sparse-ish object-relocation reward through contact).
+
+The box is modeled as two orthogonal slide DoFs (x, y) on the table plane
+with dry (Coulomb) joint friction standing in for surface friction — it
+stays exactly where it is left and moves only under contact forces.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ppi_tpu.envs.physics import ModelBuilder, PhysicsState
+from ppi_tpu.envs.physics.engine import HINGE, SLIDE
+
+YAW, SHOULDER, ELBOW, WRIST, BOX_X, BOX_Y = range(6)
+TABLE_Z = 0.75
+BOX_START = (0.55, 0.1)
+
+
+def _build_model():
+    b = ModelBuilder()
+    b.add_body(parent=-1, joint_type=HINGE, axis=(0, 0, 1),
+               offset_pos=(0, 0, TABLE_Z + 0.25), mass=2.0, damping=2.0,
+               armature=0.1, q_limit=(-1.5, 1.5), limit_k=50.0)
+    b.add_body(parent=YAW, joint_type=HINGE, axis=(0, 1, 0),
+               offset_pos=(0, 0, 0), mass=2.0, com=(0.17, 0, 0),
+               damping=2.0, armature=0.1, q_limit=(-1.2, 1.2), limit_k=50.0)
+    b.add_body(parent=SHOULDER, joint_type=HINGE, axis=(0, 1, 0),
+               offset_pos=(0.35, 0, 0), mass=1.5, com=(0.17, 0, 0),
+               damping=1.5, armature=0.08, q_limit=(-2.0, 2.0), limit_k=50.0)
+    b.add_body(parent=ELBOW, joint_type=HINGE, axis=(0, 1, 0),
+               offset_pos=(0.35, 0, 0), mass=0.8, com=(0.08, 0, 0),
+               damping=1.0, armature=0.05, q_limit=(-2.0, 2.0), limit_k=50.0)
+    # box on the table: planar slides with dry friction
+    b.add_body(parent=-1, joint_type=SLIDE, axis=(1, 0, 0),
+               offset_pos=(BOX_START[0], BOX_START[1], TABLE_Z), mass=0.5,
+               damping=2.0, armature=0.01, friction_loss=2.5)
+    b.add_body(parent=BOX_X, joint_type=SLIDE, axis=(0, 1, 0),
+               offset_pos=(0, 0, 0), mass=0.5, damping=2.0, armature=0.01,
+               friction_loss=2.5)
+
+    palm = b.add_sphere(WRIST, (0.18, 0, 0), 0.05)
+    box = b.add_sphere(BOX_Y, (0, 0, 0.04), 0.055)
+    b.add_contact_sphere_sphere(palm, box)
+    b.contact_stiffness = 3e3
+    b.contact_damping = 60.0
+    b.friction_mu = 0.8
+    b.friction_vel_k = 60.0
+    return b.finalize(), palm, box
+
+
+class PushState(struct.PyTreeNode):
+    physics: PhysicsState
+    target: jax.Array
+    t: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class FetchPush:
+    """Fetch-push-class task; PD position targets for the 4 arm joints.
+    Reward: -|box - target| - 0.25 |palm - box| + in-place bonus."""
+
+    action_dim: int = 4
+    dt: float = 0.02
+    substeps: int = 2
+    kp: float = 60.0
+    kd: float = 6.0
+    target: tuple = (0.72, -0.15)
+    success_radius: float = 0.05
+
+    name = "fetch-push"
+
+    def __post_init__(self):
+        from ppi_tpu.envs.physics.engine_soa import (
+            make_single_step_soa, make_sites_soa)
+        model, palm, box = _build_model()
+        object.__setattr__(self, "_model", model)
+        object.__setattr__(self, "_palm_geom", palm)
+        object.__setattr__(self, "_box_geom", box)
+        object.__setattr__(self, "_step_soa",
+                           make_single_step_soa(model, self.dt, self.substeps))
+        object.__setattr__(self, "_sites_soa", make_sites_soa(model))
+
+    @property
+    def action_low(self):
+        return jnp.array([-1.5, -1.2, -2.0, -2.0])
+
+    @property
+    def action_high(self):
+        return jnp.array([1.5, 1.2, 2.0, 2.0])
+
+    def reset(self, key):
+        del key
+        qpos = jnp.array([0.0, 0.7, -0.9, 0.3, 0.0, 0.0])
+        return PushState(physics=PhysicsState(qpos=qpos, qvel=jnp.zeros(6)),
+                         target=jnp.asarray(self.target),
+                         t=jnp.zeros((), jnp.int32))
+
+    def _positions(self, qpos):
+        pts = self._sites_soa(qpos)
+        return pts[self._palm_geom], pts[self._box_geom]
+
+    def box_xy(self, state):
+        q = state.physics.qpos
+        return jnp.array([BOX_START[0] + q[BOX_X], BOX_START[1] + q[BOX_Y]])
+
+    def step(self, state, action):
+        target_q = jnp.clip(action, self.action_low, self.action_high)
+        q, qd = state.physics.qpos, state.physics.qvel
+        tau_arm = self.kp * (target_q - q[:4]) - self.kd * qd[:4]
+        tau = jnp.zeros(6).at[:4].set(tau_arm)
+        qpos, qvel = self._step_soa(q, qd, tau)
+        phys = PhysicsState(qpos=qpos, qvel=qvel)
+        palm, box = self._positions(qpos)
+        box_xy = jnp.array([BOX_START[0] + qpos[BOX_X],
+                            BOX_START[1] + qpos[BOX_Y]])
+        d_target = jnp.linalg.norm(box_xy - state.target)
+        d_reach = jnp.linalg.norm(palm - box)
+        reward = (-2.0 * d_target - 0.25 * d_reach
+                  + 5.0 * (d_target < self.success_radius)
+                  - 1e-3 * jnp.sum(qvel ** 2))
+        return state.replace(physics=phys, t=state.t + 1), reward
+
+    def observe(self, state):
+        q, qd = state.physics.qpos, state.physics.qvel
+        palm, box = self._positions(q)
+        box_xy = self.box_xy(state)
+        return jnp.concatenate([
+            q[:4], qd[:4], box_xy, state.target, palm,
+            box_xy - state.target])
+
+    def success(self, state):
+        return jnp.linalg.norm(self.box_xy(state)
+                               - state.target) < self.success_radius

@@ -29,6 +29,7 @@ from ppi_tpu.envs.door import Door
 from ppi_tpu.envs.finger import FingerSpin
 from ppi_tpu.envs.hammer import Hammer
 from ppi_tpu.envs.hopper import Hopper
+from ppi_tpu.envs.push import FetchPush
 from ppi_tpu.envs.standup import HumanoidStandup
 from ppi_tpu.envs.walker import Walker
 from ppi_tpu.envs.reacher import Reacher
@@ -47,6 +48,7 @@ ENVS = {
     "hammer-v0": Hammer,
     "hopper": Hopper,
     "humanoid-standup": HumanoidStandup,
+    "fetch-push": FetchPush,
     "walker~walk": Walker,
 }
 

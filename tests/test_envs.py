@@ -134,3 +134,25 @@ class TestHammer:
         s, _ = jax.lax.scan(lambda s, _: env.step(s, hold), s0, None,
                             length=60)
         assert float(s.physics.qpos[4]) < 1e-3  # friction holds the nail
+
+
+class TestFetchPush:
+    def test_box_held_by_friction(self):
+        from ppi_tpu.envs.push import FetchPush
+        env = FetchPush()
+        s0 = env.reset(jax.random.key(0))
+        hold = s0.physics.qpos[:4]
+        s, _ = jax.lax.scan(lambda s, _: env.step(s, hold), s0, None,
+                            length=50)
+        # the box must not creep without being touched
+        assert float(jnp.abs(s.physics.qpos[4:]).max()) < 1e-3
+
+    def test_rollout_finite(self):
+        from ppi_tpu.envs.push import FetchPush
+        env = FetchPush()
+        s0 = env.reset(jax.random.key(0))
+        base = s0.physics.qpos[:4]
+        acts = base[None, None, :] + 0.6 * jax.random.normal(
+            jax.random.key(1), (6, 40, 4))
+        fs, rew = batch_rollout(env, s0, acts)
+        assert np.isfinite(np.asarray(rew)).all()
