@@ -75,7 +75,10 @@ def _one_iteration(solver, family, f, n_samples: int):
     def step(state, key):
         k_sample, k_eval = jax.random.split(key)
         actions, params = family.sample(state, k_sample, n_samples)
-        costs = f(k_eval, actions)
+        out = f(k_eval, actions)
+        # objectives may return (costs, aux-dict) — e.g. per-sample success
+        # flags from an episodic env — avoiding a second evaluation pass
+        costs, aux = out if isinstance(out, tuple) else (out, {})
         costs_clean, valid, log_valid = mask_costs(costs)
         batch = Batch(costs_clean, params, valid, log_valid)
         state, stats = solver.update(family, state, batch)
@@ -83,6 +86,8 @@ def _one_iteration(solver, family, f, n_samples: int):
         stats = dict(stats)
         stats["mean"] = mean
         stats["std"] = std
+        for k, v in aux.items():
+            stats[k] = jnp.mean(1.0 * v)
         if "ent" not in stats:
             stats["ent"] = family.entropy(state)
         return state, (stats, actions, costs_clean)

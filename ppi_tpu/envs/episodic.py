@@ -65,7 +65,8 @@ class TestEnv:
 
     def objective(self):
         def f(key, actions):
-            return self.evaluate(key, actions)[0]
+            costs, successes = self.evaluate(key, actions)
+            return costs, {"success_rate": successes}
         return f
 
 
@@ -135,7 +136,8 @@ class BallInACup:
 
     def objective(self):
         def f(key, actions):
-            return self.evaluate(key, actions)[0]
+            costs, successes = self.evaluate(key, actions)
+            return costs, {"success_rate": successes}
         return f
 
 

@@ -84,20 +84,15 @@ def main(args):
                          n_elites=args.n_elites, base_entropy=-200.0,
                          entropy_rate=0.99, dimension=family.dim_features)
 
-    success_rate = []
-    eval_fn = jax.jit(env.evaluate)
-
     def callback(i, f, actions, costs, state):
-        _, successes = eval_fn(None, actions)
-        rate = float(jnp.mean(1.0 * successes))
-        success_rate.append(rate)
-        logging.info("iter %d: cost %.3f +/- %.3f, success rate %.2f",
-                     i, float(jnp.mean(costs)), float(jnp.std(costs)), rate)
+        logging.info("iter %d: cost %.3f +/- %.3f",
+                     i, float(jnp.mean(costs)), float(jnp.std(costs)))
         return False
 
     policy, trace = solve(solver, family, policy, env.objective(),
                           jax.random.key(args.seed), args.n_samples,
                           args.n_iters, callback=callback)
+    success_rate = [float(v) for v in np.asarray(trace["success_rate"])]
     logging.info("Success rate history: %s", success_rate)
 
     trace = {k: np.asarray(v) for k, v in trace.items()}
