@@ -117,7 +117,6 @@ class BaseFeatures(MatrixPolicyBase):
         pairs (Minka's linear-Gaussian update; reference:
         ppi/policies.py:449-459)."""
         f = self.feat(state, t)                       # (q, m)
-        m = self.dim_features
         cov0_inv = jnp.linalg.inv(state.cov_in)
         s_xx = f.T @ f + cov0_inv
         s_yx = (action - state.mean_fn[None, :]).T @ f + state.mean.T @ cov0_inv
@@ -125,7 +124,6 @@ class BaseFeatures(MatrixPolicyBase):
         cov_new = jnp.linalg.inv(s_xx)
         cov_new = ops.symmetric(cov_new)
         chol, _ = ops.safe_cholesky(cov_new, jitter=0.0)
-        del m
         return state.replace(mean=mean_new, cov_in=cov_new, chol_in=chol)
 
     def update_timesteps(self, state: FeatureState, t, anneal=1.0):

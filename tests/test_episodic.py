@@ -82,17 +82,14 @@ class TestBallInCupSim:
 
     def test_batch_evaluation_shapes(self):
         env = BallInACup()
-        sim = env.sim
         # shrink the episode for test speed
         object.__setattr__(env, "sim", BallInCupSim(
             stabilize_steps=20, cooldown_steps=20))
-        t = np.asarray(env.t)[:100]
         acts = np.zeros((3, 100, 4), np.float32)
         acts[..., 1] = 1.5707
         costs, succ = env.evaluate(None, jnp.asarray(acts))
         assert costs.shape == (3,) and succ.shape == (3,)
         assert np.isfinite(np.asarray(costs)).all()
-        del sim, t
 
     def test_dropped_ball_is_caught(self):
         """Physical feasibility: a ball released above the mouth falls in,
