@@ -78,4 +78,6 @@ def main():
 
 
 if __name__ == "__main__":
+    from ppi_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     main()

@@ -84,6 +84,8 @@ def main(args):
 
 
 if __name__ == "__main__":
+    from ppi_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--env", default="door-v0")
     p.add_argument("--runs", type=int, default=5)

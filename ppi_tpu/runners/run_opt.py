@@ -103,4 +103,6 @@ def main(args):
 
 
 if __name__ == "__main__":
+    from ppi_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     main(build_parser().parse_args())

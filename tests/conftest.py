@@ -20,11 +20,8 @@ if _platform == "cpu":
 
 # Persistent compilation cache: the scalar-SoA physics graphs compile in
 # seconds-to-tens-of-seconds; caching makes repeated test runs cheap.
-import pathlib  # noqa: E402
-_cache = pathlib.Path(__file__).parent.parent / ".jax_cache"
-_cache.mkdir(exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", str(_cache))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+from ppi_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+enable_compilation_cache()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
