@@ -79,6 +79,7 @@ class BicState(struct.PyTreeNode):
     arm: PhysicsState
     particles: jax.Array       # (P, 3) string particle positions (world)
     particles_prev: jax.Array  # (P, 3) previous positions (Verlet/PBD)
+    string_force: jax.Array    # (3,) string reaction on the cup anchor
     # reward accumulators (reference records a trace; we stream the stats)
     max_pot_m: jax.Array
     sum_vel_pen: jax.Array
@@ -215,6 +216,11 @@ class BallInCupSim:
         q, qd = state.arm.qpos, state.arm.qvel
         tau = jnp.asarray(P_GAINS) * (q_des - q) + jnp.asarray(D_GAINS) * (
             qd_des - qd)
+        # two-way coupling: the string's reaction from the previous step acts
+        # on the arm through the anchor-point Jacobian (J^T F via vjp)
+        anchor_fn = lambda qq: self.cup_frame(qq)[0]
+        _, vjp_fn = jax.vjp(anchor_fn, q)
+        tau = tau + vjp_fn(state.string_force)[0]
         qdd_tuple, _ = forward_dynamics_soa(
             self._soa, tuple(q), tuple(qd), tuple(tau))
         qdd = jnp.stack(qdd_tuple)
@@ -225,6 +231,19 @@ class BallInCupSim:
         bottom, top, up = self.cup_frame(q_new)
         particles, particles_prev = self._pbd_step(
             state.particles, state.particles_prev, bottom, q_new)
+
+        # String reaction on the arm (Newton on the non-anchor particles):
+        # F_anchor->string = dp/dt - m g  =>  reaction = -F.
+        masses = jnp.full((N_PARTICLES + 1,), PARTICLE_MASS).at[-1].set(
+            BALL_MASS)[1:, None]
+        v_new = (particles[1:] - particles_prev[1:]) / self.dt
+        v_old = (state.particles[1:] - state.particles_prev[1:]) / self.dt
+        dp = jnp.sum(masses * (v_new - v_old), axis=0) / self.dt
+        m_total = float(N_PARTICLES * PARTICLE_MASS + BALL_MASS)
+        g_vec = jnp.array([0.0, 0.0, -9.81]) * m_total
+        reaction = -(dp - g_vec)
+        # clip for robustness against PBD projection spikes
+        reaction = jnp.clip(reaction, -30.0, 30.0)
 
         # --- streamed reward statistics (reference: ball_in_a_cup.py:513-581)
         ball = particles[-1]
@@ -239,6 +258,7 @@ class BallInCupSim:
                               jnp.maximum(state.max_pot_m, pot_m))
         state = state.replace(
             arm=arm, particles=particles, particles_prev=particles_prev,
+            string_force=reaction,
             max_pot_m=max_pot_m,
             sum_vel_pen=state.sum_vel_pen + live * jnp.sum(qd_new ** 2),
             sum_pos_pen=state.sum_pos_pen
@@ -277,6 +297,7 @@ class BallInCupSim:
         return BicState(
             arm=PhysicsState(qpos=q0, qvel=jnp.zeros(4)),
             particles=particles, particles_prev=particles,
+            string_force=jnp.zeros(3),
             max_pot_m=jnp.asarray(-jnp.inf),
             sum_vel_pen=jnp.zeros(()), sum_pos_pen=jnp.zeros(()),
             sum_ball_vel_pen=jnp.zeros(()), n_steps=jnp.zeros(()),
