@@ -40,6 +40,14 @@ def build_parser():
     parser.add_argument("--render", action="store_true",
                         help="save a GIF of the learned mean trajectory "
                              "(BallInACup)")
+    parser.add_argument("--track-diagnostics", action="store_true",
+                        help="compute matrix-normal entropy/KL telemetry "
+                             "(the reference disables these by commenting "
+                             "out; here it is a flag)")
+    parser.add_argument("--checkpoint-every", type=int, default=0,
+                        help="save (policy, key, iteration) every N iters")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from the checkpoint in --dir")
     # algorithm hyperparameters
     parser.add_argument("--n-elites", type=int, default=10)
     parser.add_argument("--alpha", type=float, default=0.9)
@@ -75,7 +83,8 @@ def main(args):
         covariance_in=jnp.array([1e2]),
         covariance_out=jnp.diag(jnp.array([1e-3] * env.dim_action)),
         lengthscale=float(np.sqrt(3e-2)), n_features=20, order=10,
-        sampler=args.sampling, use_derivatives=True, add_bias=True)
+        sampler=args.sampling, use_derivatives=True, add_bias=True,
+        track_entropy=args.track_diagnostics)
     if env.condition:
         policy = family.condition(policy, jnp.zeros(1), env.action_0[None, :])
 
@@ -84,14 +93,26 @@ def main(args):
                          n_elites=args.n_elites, base_entropy=-200.0,
                          entropy_rate=0.99, dimension=family.dim_features)
 
+    key = jax.random.key(args.seed)
+    ckpt_path = (filepath / "checkpoint.npz") if filepath else None
+    start_iter = 0
+    if args.resume and ckpt_path is not None and ckpt_path.exists():
+        from ppi_tpu.utils import load_checkpoint
+        (policy, key), start_iter = load_checkpoint(ckpt_path, (policy, key))
+        logging.info("resumed from %s at iteration %d", ckpt_path, start_iter)
+
     def callback(i, f, actions, costs, state):
         logging.info("iter %d: cost %.3f +/- %.3f",
                      i, float(jnp.mean(costs)), float(jnp.std(costs)))
+        if (args.checkpoint_every and ckpt_path is not None
+                and (i + 1) % args.checkpoint_every == 0):
+            from ppi_tpu.utils import save_checkpoint
+            save_checkpoint(ckpt_path, (state, key), step=start_iter + i + 1)
         return False
 
     policy, trace = solve(solver, family, policy, env.objective(),
-                          jax.random.key(args.seed), args.n_samples,
-                          args.n_iters, callback=callback)
+                          key, args.n_samples,
+                          args.n_iters - start_iter, callback=callback)
     success_rate = [float(v) for v in np.asarray(trace["success_rate"])]
     logging.info("Success rate history: %s", success_rate)
 
