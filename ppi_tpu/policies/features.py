@@ -103,6 +103,13 @@ class BaseFeatures(MatrixPolicyBase):
         mu = state.mean_fn[None, :] + feat_t @ state.mean
         return clip_actions(mu, state.lower, state.upper)
 
+    def map_action_sequence(self, state: FeatureState):
+        """MAP/elite sample mapped from weight space to actions (the elite
+        solvers store weight samples for feature policies)."""
+        feat_t = self.feat(state, state.t)
+        mu = state.mean_fn[None, :] + feat_t @ state.map_sequence
+        return clip_actions(mu, state.lower, state.upper)
+
     def predict(self, state: FeatureState):
         """(mean (H, d_a), sigma_in (H, H), sigma_out (d_a, d_a), std (H, d_a))."""
         feat_t = self.feat(state, state.t)

@@ -156,3 +156,26 @@ class TestMetrics:
     def test_signal_power(self):
         a = jnp.ones((50, 2))
         assert float(signal_power(a)) == pytest.approx(np.sqrt(2.0), rel=1e-5)
+
+
+class TestMapActionExtraction:
+    def test_use_map_with_feature_policy(self):
+        """iCEM's MAP action extraction must work for weight-space (feature)
+        policies too — the MAP is mapped through the basis."""
+        env = Pendulum()
+        t_seq = env.dt * jnp.arange(15)
+        mean, ci, co = design_moments(env.action_low, env.action_high, 1000.0)
+        fam, pol = make_policy("RffFeatures", t_seq, 1, mean, ci, co,
+                               order=6, lengthscale=0.3, sampler="Particles",
+                               max_particles=3, lower=env.action_low,
+                               upper=env.action_high)
+        from ppi_tpu.algorithms import make_solver
+        agent = Mpc(env=env, solver=make_solver("iCem", n_elites=10),
+                    family=fam, timesteps=10, horizon=15, n_samples=32,
+                    use_map=True)
+        carry = agent.init(pol, jax.random.key(0))
+        es = env.reset(jax.random.key(1))
+        action, carry, _ = agent.control_step(carry, es, jnp.asarray(0))
+        assert np.isfinite(np.asarray(action)).all()
+        # within actuator bounds
+        assert float(jnp.abs(action[0])) <= float(env.action_high[0]) + 1e-6
