@@ -436,6 +436,40 @@ class ModelBuilder:
             limit_k=float(limit_k)))
         return len(self._bodies) - 1
 
+    def add_planar_base(self, offset_pos, mass=1e-3, axis_forward=(1, 0, 0),
+                        axis_up=(0, 0, 1), axis_pitch=(0, 1, 0)) -> int:
+        """Compose a planar free base (slide-forward, slide-up, pitch hinge)
+        and return the hinge body id — the body real mass/geometry should be
+        attached to. The two proxy slide bodies get negligible mass."""
+        x = self.add_body(parent=-1, joint_type=SLIDE, axis=axis_forward,
+                          offset_pos=offset_pos, mass=mass, damping=0.0,
+                          armature=1e-4)
+        z = self.add_body(parent=x, joint_type=SLIDE, axis=axis_up,
+                          offset_pos=(0, 0, 0), mass=mass, damping=0.0,
+                          armature=1e-4)
+        return z  # caller adds the pitch hinge with real inertia as child
+
+    def add_free_body_chain(self, offset_pos, mass=1e-3) -> int:
+        """Compose a full 6-DoF free body as a 3-slide + 3-hinge chain and
+        return the final body id (carrying the real mass/inertia when the
+        caller re-specifies it as children). Proxy links are near-massless."""
+        b = self.add_body(parent=-1, joint_type=SLIDE, axis=(1, 0, 0),
+                          offset_pos=offset_pos, mass=mass, armature=1e-4,
+                          damping=0.0)
+        b = self.add_body(parent=b, joint_type=SLIDE, axis=(0, 1, 0),
+                          offset_pos=(0, 0, 0), mass=mass, armature=1e-4,
+                          damping=0.0)
+        b = self.add_body(parent=b, joint_type=SLIDE, axis=(0, 0, 1),
+                          offset_pos=(0, 0, 0), mass=mass, armature=1e-4,
+                          damping=0.0)
+        b = self.add_body(parent=b, joint_type=HINGE, axis=(1, 0, 0),
+                          offset_pos=(0, 0, 0), mass=mass, armature=1e-4,
+                          damping=0.0)
+        b = self.add_body(parent=b, joint_type=HINGE, axis=(0, 1, 0),
+                          offset_pos=(0, 0, 0), mass=mass, armature=1e-4,
+                          damping=0.0)
+        return b  # caller adds the final z-hinge with the real inertia
+
     def add_sphere(self, body: int, pos, radius: float) -> int:
         self._spheres.append((body, np.asarray(pos, np.float32),
                               float(radius)))

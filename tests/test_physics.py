@@ -265,3 +265,28 @@ class TestSoaEngine:
                             forward_dynamics_soa(soa, tuple(q), tuple(qd),
                                                  tuple(tau))[0]])
             np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-3)
+
+
+class TestFreeBodyComposition:
+    def test_free_body_chain_falls_ballistically(self):
+        """A 6-DoF free body composed from slide/hinge chains follows
+        projectile motion."""
+        b = ModelBuilder()
+        tail = b.add_free_body_chain((0, 0, 1.0))
+        body = b.add_body(parent=tail, joint_type=HINGE, axis=(0, 0, 1),
+                          offset_pos=(0, 0, 0), mass=1.0,
+                          inertia=1e-2 * np.eye(3), damping=0.0,
+                          armature=1e-4)
+        model = b.finalize()
+        state = PhysicsState(qpos=jnp.zeros(6),
+                             qvel=jnp.zeros(6).at[0].set(2.0))  # vx = 2
+
+        def step_fn(s, _):
+            return step(model, s, jnp.zeros(6), dt=1e-3), None
+
+        state, _ = jax.lax.scan(step_fn, state, None, length=500)
+        t = 0.5
+        np.testing.assert_allclose(float(state.qpos[0]), 2.0 * t, rtol=1e-2)
+        np.testing.assert_allclose(float(state.qpos[2]),
+                                   -0.5 * 9.81 * t ** 2, rtol=2e-2)
+        del body
