@@ -26,9 +26,22 @@ SAMPLE_AXIS = "samples"
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = SAMPLE_AXIS) -> Mesh:
-    """1-D mesh over the first n devices (default: all)."""
+    """1-D mesh over the first n devices (default: all).
+
+    Raises when fewer than ``n_devices`` devices exist — a "multi-chip" mesh
+    silently downgraded to one device would let sharding checks pass
+    vacuously.
+    """
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise ValueError(
+                f"make_mesh(n_devices={n_devices}) but only {len(devs)} "
+                f"device(s) are visible on platform "
+                f"'{jax.default_backend()}'. For multi-chip validation "
+                f"without hardware, force the virtual-CPU platform first: "
+                f'jax.config.update("jax_platforms", "cpu"); '
+                f'jax.config.update("jax_num_cpu_devices", {n_devices}).')
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))
 

@@ -72,3 +72,59 @@ class TestMesh:
     def test_graft_dryrun(self):
         import __graft_entry__ as g
         g.dryrun_multichip(8)
+
+    def test_sharded_sweep_16k_samples(self):
+        """Scale proof at the sweep configuration the sharded objective
+        advertises (mesh.py docstring; SURVEY.md §7 step 9): 16k sharded
+        rollouts match the unsharded oracle exactly."""
+        env = Pendulum()
+        s0 = env.reset(jax.random.key(0))
+        n = 16384
+        acts = 0.5 * jax.random.normal(jax.random.key(1), (n, 10, 1))
+        mesh = make_mesh(8)
+        f_local = jax.jit(lambda a: mpc_objective(env, s0)(None, a))
+        f_shard = jax.jit(lambda a: sharded_mpc_objective(env, s0, mesh)(None, a))
+        c_l = np.asarray(f_local(acts))
+        c_s = np.asarray(f_shard(acts))
+        assert c_l.shape == (n,)
+        np.testing.assert_allclose(c_l, c_s, rtol=1e-5)
+
+    def test_moment_match_lowers_to_cross_device_reduce(self):
+        """The weighted-moment contraction over the sharded sample axis must
+        compile to a cross-device reduction (psum of per-shard partials),
+        not an all-gather of the full sample batch onto every device."""
+        from ppi_tpu.ops import m_projection
+
+        mesh = make_mesh(8)
+        n, d = 16384, 16
+        sharding = sample_sharding(mesh)
+
+        @jax.jit
+        def fit(log_w, samples):
+            log_w = jax.lax.with_sharding_constraint(log_w, sharding)
+            samples = jax.lax.with_sharding_constraint(samples, sharding)
+            return m_projection(log_w, samples, use_pallas="never")
+
+        log_w = jnp.zeros(n)
+        samples = jax.random.normal(jax.random.key(0), (n, d))
+        hlo = fit.lower(log_w, samples).compile().as_text()
+        assert "all-reduce" in hlo, "expected a cross-device reduction"
+        # the (N, d) sample operand must never be materialized per-device:
+        # no all-gather producing the full f32[16384,16] batch
+        for line in hlo.splitlines():
+            if "all-gather" in line:
+                assert f"f32[{n},{d}]" not in line, line
+        # and the numbers still match the single-device oracle
+        mu_s, sig_s, ess_s = jax.tree_util.tree_map(
+            np.asarray, fit(log_w, samples))
+        mu, sig, ess = jax.tree_util.tree_map(
+            np.asarray, m_projection(log_w, samples, use_pallas="never"))
+        np.testing.assert_allclose(mu_s, mu, atol=1e-6)
+        np.testing.assert_allclose(sig_s, sig, atol=1e-6)
+        np.testing.assert_allclose(ess_s, ess, rtol=1e-6)
+
+    def test_make_mesh_rejects_underprovisioning(self):
+        """A 'multi-chip' mesh must never silently downgrade to fewer
+        devices (VERDICT r1 weak #2)."""
+        with pytest.raises(ValueError, match="only"):
+            make_mesh(len(jax.devices()) + 1)
