@@ -1,0 +1,184 @@
+"""In-hand pen reorientation on the articulated physics core.
+
+TPU-native re-host of the mj_envs ``pen-v0`` task semantics (reference env
+zoo: run_mpc.py:41-42): reorient a free pen held in the hand until its long
+axis matches a target orientation, without dropping it. The 24-DoF Adroit
+in-hand embodiment is replaced by: the pen as a free body (3 slide DoFs
+with weak holding springs — the compliance of a loose power grasp — plus 2
+free rotational DoFs, yaw then pitch; roll about the pen's own axis is
+irrelevant to the mj_envs orientation-similarity criterion) and two
+fingertips, each a 2-DoF (y, z) planar manipulator near one pen end, which
+reorient the pen by pushing its ends through real penalty contacts. The
+reward shape (position-hold + orientation-similarity terms, staged aligned
+bonuses, drop penalty) mirrors the mj_envs pen reward; the target
+orientation is fixed rather than sampled, like the fixed goals of the other
+re-hosted envs.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ppi_tpu.envs.physics import ModelBuilder, PhysicsState
+from ppi_tpu.envs.physics.engine import HINGE, SLIDE
+
+# dof order: pen x,y,z slides, yaw (about z), pitch (about y), then
+# fingertip A (y, z) and fingertip B (y, z)
+PEN_X, PEN_Y, PEN_Z, PEN_YAW, PEN_PITCH, A_Y, A_Z, B_Y, B_Z = range(9)
+
+HOLD_POS = (0.45, 0.0, 0.90)   # nominal in-hand pen centre
+PEN_HALF = 0.095               # rod half-length
+TARGET_YAW, TARGET_PITCH = 0.4, -0.5
+
+
+def target_axis():
+    cy, sy = np.cos(TARGET_YAW), np.sin(TARGET_YAW)
+    cp, sp = np.cos(TARGET_PITCH), np.sin(TARGET_PITCH)
+    # Rz(yaw) @ Ry(pitch) @ x_hat
+    return np.array([cy * cp, sy * cp, -sp], np.float32)
+
+
+def _build_model():
+    b = ModelBuilder()
+    # --- pen: 3 compliant slides (loose-grasp hold) + free yaw/pitch ---
+    p = b.add_body(parent=-1, joint_type=SLIDE, axis=(1, 0, 0),
+                   offset_pos=HOLD_POS, mass=1e-3, armature=1e-4,
+                   damping=0.0, spring_k=50.0, spring_ref=0.0)
+    p = b.add_body(parent=p, joint_type=SLIDE, axis=(0, 1, 0),
+                   offset_pos=(0, 0, 0), mass=1e-3, armature=1e-4,
+                   damping=0.5, spring_k=50.0, spring_ref=0.0)
+    p = b.add_body(parent=p, joint_type=SLIDE, axis=(0, 0, 1),
+                   offset_pos=(0, 0, 0), mass=1e-3, armature=1e-4,
+                   damping=1.0, spring_k=50.0, spring_ref=0.0)
+    # rotational damping = the viscosity of the loose grasp (in mj_envs the
+    # in-hand pen is damped by the enveloping hand contacts); without it the
+    # tiny-inertia pen spins ballistically and is uncontrollable at dt=0.02
+    p = b.add_body(parent=p, joint_type=HINGE, axis=(0, 0, 1),
+                   offset_pos=(0, 0, 0), mass=1e-3, armature=1e-3,
+                   damping=0.05)
+    b.add_body(parent=p, joint_type=HINGE, axis=(0, 1, 0),
+               offset_pos=(0, 0, 0), mass=0.05,
+               inertia=np.diag([1e-4, 3e-4, 3e-4]), armature=1e-3,
+               damping=0.05)
+    # --- fingertips: 2-DoF (y, z) planar manipulators near each pen end ---
+    a = b.add_body(parent=-1, joint_type=SLIDE, axis=(0, 1, 0),
+                   offset_pos=(HOLD_POS[0] + 0.06, 0.0, HOLD_POS[2]),
+                   mass=0.05, armature=1e-3, damping=0.5,
+                   q_limit=(-0.12, 0.12), limit_k=50.0)
+    b.add_body(parent=a, joint_type=SLIDE, axis=(0, 0, 1),
+               offset_pos=(0, 0, 0), mass=0.05, armature=1e-3, damping=0.5,
+               q_limit=(-0.12, 0.12), limit_k=50.0)
+    bb = b.add_body(parent=-1, joint_type=SLIDE, axis=(0, 1, 0),
+                    offset_pos=(HOLD_POS[0] - 0.06, 0.0, HOLD_POS[2]),
+                    mass=0.05, armature=1e-3, damping=0.5,
+                    q_limit=(-0.12, 0.12), limit_k=50.0)
+    b.add_body(parent=bb, joint_type=SLIDE, axis=(0, 0, 1),
+               offset_pos=(0, 0, 0), mass=0.05, armature=1e-3, damping=0.5,
+               q_limit=(-0.12, 0.12), limit_k=50.0)
+
+    # geoms: pen end spheres define the rod segment; fingertip spheres
+    end_a = b.add_sphere(PEN_PITCH, (PEN_HALF, 0, 0), 0.012)
+    end_b = b.add_sphere(PEN_PITCH, (-PEN_HALF, 0, 0), 0.012)
+    tip_a = b.add_sphere(A_Z, (0.0, 0.0, 0.0), 0.015)
+    tip_b = b.add_sphere(B_Z, (0.0, 0.0, 0.0), 0.015)
+    b.add_contact_sphere_segment(tip_a, end_a, end_b)
+    b.add_contact_sphere_segment(tip_b, end_a, end_b)
+    # stability at h = dt/substeps with the 0.05 kg pen (c*h/m < 1)
+    b.contact_stiffness = 2e3
+    b.contact_damping = 5.0
+    b.friction_mu = 0.8
+    b.friction_vel_k = 30.0
+    return b.finalize(), (end_a, end_b), (tip_a, tip_b)
+
+
+class PenState(struct.PyTreeNode):
+    physics: PhysicsState
+    t: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class Pen:
+    """pen-v0-class task; actions are PD position targets for the two
+    fingertips' (y, z) slides."""
+
+    action_dim: int = 4
+    dt: float = 0.02
+    substeps: int = 8
+    kp: float = 8.0
+    kd: float = 0.8
+
+    name = "pen-v0"
+
+    def __post_init__(self):
+        from ppi_tpu.envs.physics.engine_soa import (
+            make_single_step_soa, make_sites_soa)
+        model, ends, tips = _build_model()
+        object.__setattr__(self, "_model", model)
+        object.__setattr__(self, "_end_geoms", ends)
+        object.__setattr__(self, "_tip_geoms", tips)
+        object.__setattr__(self, "_step_soa",
+                           make_single_step_soa(model, self.dt, self.substeps))
+        object.__setattr__(self, "_sites_soa", make_sites_soa(model))
+        object.__setattr__(self, "_target_axis", jnp.asarray(target_axis()))
+
+    @property
+    def action_low(self):
+        return jnp.full((4,), -0.12)
+
+    @property
+    def action_high(self):
+        return jnp.full((4,), 0.12)
+
+    def reset(self, key):
+        del key
+        # pen level in the hold, fingertips offset below/above the rod so
+        # first contact is gentle
+        qpos = jnp.zeros(9).at[A_Z].set(-0.05).at[B_Z].set(0.05)
+        return PenState(physics=PhysicsState(qpos=qpos, qvel=jnp.zeros(9)),
+                        t=jnp.zeros((), jnp.int32))
+
+    def _pen_pose(self, qpos):
+        """(centre, unit axis) of the rod from the end-sphere sites."""
+        pts = self._sites_soa(qpos)
+        ea, eb = pts[self._end_geoms[0]], pts[self._end_geoms[1]]
+        centre = 0.5 * (ea + eb)
+        axis = (ea - eb) / (jnp.linalg.norm(ea - eb) + 1e-9)
+        return centre, axis
+
+    def step(self, state, action):
+        target = jnp.clip(action, self.action_low, self.action_high)
+        q, qd = state.physics.qpos, state.physics.qvel
+        tau = jnp.zeros(9).at[A_Y:].set(
+            self.kp * (target - q[A_Y:]) - self.kd * qd[A_Y:])
+        qpos, qvel = self._step_soa(q, qd, tau)
+        phys = PhysicsState(qpos=qpos, qvel=qvel)
+
+        centre, axis = self._pen_pose(qpos)
+        dist = jnp.linalg.norm(centre - jnp.asarray(HOLD_POS))
+        similarity = jnp.dot(axis, self._target_axis)
+        dropped = centre[2] < HOLD_POS[2] - 0.15
+        # mj_envs pen-v0 reward shape: pos hold + orientation similarity +
+        # staged aligned bonuses + drop penalty
+        reward = (-1.0 * dist
+                  + similarity
+                  - 1e-3 * jnp.sum(qvel[:5] ** 2)
+                  + 10.0 * ((similarity > 0.90) & (dist < 0.075))
+                  + 50.0 * ((similarity > 0.95) & (dist < 0.075))
+                  - 5.0 * dropped)
+        return state.replace(physics=phys, t=state.t + 1), reward
+
+    def observe(self, state):
+        q, qd = state.physics.qpos, state.physics.qvel
+        centre, axis = self._pen_pose(q)
+        return jnp.concatenate([
+            q, qd, centre, axis, self._target_axis,
+            axis - self._target_axis,
+            centre - jnp.asarray(HOLD_POS)])
+
+    def success(self, state):
+        centre, axis = self._pen_pose(state.physics.qpos)
+        dist = jnp.linalg.norm(centre - jnp.asarray(HOLD_POS))
+        return (jnp.dot(axis, self._target_axis) > 0.95) & (dist < 0.075)

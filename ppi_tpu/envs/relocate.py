@@ -1,0 +1,207 @@
+"""Pick-and-carry environment with a free ball on the articulated core.
+
+TPU-native re-host of the mj_envs ``relocate-v0`` task semantics (reference
+env zoo: run_mpc.py:41-42): grasp a free ball resting on a table and carry
+it to a target position in the air. The 30-DoF Adroit hand is replaced by a
+4-DoF arm with a two-finger caging gripper (one hinge per finger) — the
+contact structure (multi-point grasp: two fingertips wrapping below the
+ball's equator plus a palm stop above, all real penalty-friction contacts)
+and the reward shape (palm-to-ball reach, lift gating, ball-to-target
+carry terms, proximity bonuses — mirroring the mj_envs relocate reward) are
+preserved; the embodiment is deliberately simpler, like the door/hammer
+re-hosts.
+
+The ball is a free body composed as a 3-slide chain (translational DoFs
+only — ball spin is irrelevant to the task and to the mj_envs success
+criterion, which is purely positional). Fingers hinge about the wrist
+axis and swing *under* the ball's equator, so the grasp is held by normal
+forces (a cradle), not by smoothed Coulomb friction alone — static under
+the engine's penalty contact model.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ppi_tpu.envs.physics import ModelBuilder, PhysicsState
+from ppi_tpu.envs.physics.engine import HINGE, SLIDE
+
+YAW, SHOULDER, ELBOW, WRIST, FING_L, FING_R, BALL_X, BALL_Y, BALL_Z = range(9)
+
+TABLE_Z = 0.60
+BALL_RADIUS = 0.04
+BALL_START = (0.58, 0.0)
+# in-air target: +0.24 above the table, 0.18 sideways from the ball start —
+# inside the mj_envs relocate target distribution (xy +/-0.25, z +0.15-0.35)
+TARGET = (0.60, 0.18, 0.88)
+
+
+def _build_model():
+    b = ModelBuilder()
+    # --- arm (same class as the door/hammer arm) ---
+    b.add_body(parent=-1, joint_type=HINGE, axis=(0, 0, 1),
+               offset_pos=(0, 0, TABLE_Z + 0.35), mass=2.0, damping=2.0,
+               armature=0.1, q_limit=(-1.5, 1.5), limit_k=50.0)
+    b.add_body(parent=YAW, joint_type=HINGE, axis=(0, 1, 0),
+               offset_pos=(0, 0, 0), mass=2.0, com=(0.17, 0, 0),
+               damping=2.0, armature=0.1, q_limit=(-1.2, 1.2), limit_k=50.0)
+    b.add_body(parent=SHOULDER, joint_type=HINGE, axis=(0, 1, 0),
+               offset_pos=(0.35, 0, 0), mass=1.5, com=(0.17, 0, 0),
+               damping=1.5, armature=0.08, q_limit=(-2.0, 2.0), limit_k=50.0)
+    b.add_body(parent=ELBOW, joint_type=HINGE, axis=(0, 1, 0),
+               offset_pos=(0.35, 0, 0), mass=0.8, com=(0.08, 0, 0),
+               damping=1.0, armature=0.05, q_limit=(-2.0, 2.0), limit_k=50.0)
+    # --- fingers: hinge about the wrist's local x (the hand axis); at q=0
+    # they hang straight down from knuckles at +/-y; closing (q toward the
+    # ball) swings the tips under the ball's equator ---
+    b.add_body(parent=WRIST, joint_type=HINGE, axis=(1, 0, 0),
+               offset_pos=(0.22, 0.065, 0.0), mass=0.15,
+               com=(0.0, 0.0, -0.06), inertia=np.diag([1e-3, 1e-3, 1e-3]),
+               damping=0.3, armature=0.02, q_limit=(-1.1, 0.6), limit_k=30.0)
+    b.add_body(parent=WRIST, joint_type=HINGE, axis=(1, 0, 0),
+               offset_pos=(0.22, -0.065, 0.0), mass=0.15,
+               com=(0.0, 0.0, -0.06), inertia=np.diag([1e-3, 1e-3, 1e-3]),
+               damping=0.3, armature=0.02, q_limit=(-0.6, 1.1), limit_k=30.0)
+    # --- free ball: 3-slide chain, translational DoFs only ---
+    bx = b.add_body(parent=-1, joint_type=SLIDE, axis=(1, 0, 0),
+                    offset_pos=(BALL_START[0], BALL_START[1],
+                                TABLE_Z + BALL_RADIUS),
+                    mass=1e-3, armature=1e-4, damping=0.0)
+    by = b.add_body(parent=bx, joint_type=SLIDE, axis=(0, 1, 0),
+                    offset_pos=(0, 0, 0), mass=1e-3, armature=1e-4,
+                    damping=0.0)
+    b.add_body(parent=by, joint_type=SLIDE, axis=(0, 0, 1),
+               offset_pos=(0, 0, 0), mass=0.10,
+               inertia=np.diag([5e-4, 5e-4, 5e-4]), armature=1e-4,
+               damping=0.05)
+
+    # geoms — each finger is forked along the hand axis (two tip spheres at
+    # local x = +/-0.035), so the closed grasp cages the ball with four
+    # contact points below its equator: a cradle held by normal forces,
+    # stable in x AND y (a single tip pair leaves x unconstrained and the
+    # ball squirts out of the pinch)
+    palm = b.add_sphere(WRIST, (0.22, 0.0, 0.0), 0.03)
+    tips = [b.add_sphere(FING_L, (-0.035, 0.0, -0.095), 0.018),
+            b.add_sphere(FING_L, (0.035, 0.0, -0.095), 0.018),
+            b.add_sphere(FING_R, (-0.035, 0.0, -0.095), 0.018),
+            b.add_sphere(FING_R, (0.035, 0.0, -0.095), 0.018)]
+    ball = b.add_sphere(BALL_Z, (0.0, 0.0, 0.0), BALL_RADIUS)
+    table = b.add_plane(normal=(0.0, 0.0, 1.0), offset=TABLE_Z)
+
+    b.add_contact_sphere_sphere(ball, palm)
+    for tip in tips:
+        b.add_contact_sphere_sphere(ball, tip)
+        b.add_contact_sphere_plane(tip, table)
+    b.add_contact_sphere_plane(ball, table)
+    b.add_contact_sphere_plane(palm, table)
+    # stability at h = dt/substeps with the 0.1 kg ball (semi-implicit
+    # Euler needs c*h/m < 1): k=2e3 -> omega*h ~ 0.35, c=8 -> c*h/m = 0.2
+    b.contact_stiffness = 2e3
+    b.contact_damping = 8.0
+    b.friction_mu = 1.2
+    b.friction_vel_k = 30.0
+    return b.finalize(), palm, tuple(tips), ball
+
+
+class RelocateState(struct.PyTreeNode):
+    physics: PhysicsState
+    t: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class Relocate:
+    """relocate-v0-class task; actions are PD position targets for the 4
+    arm joints + 2 finger joints (the mj_envs hand also uses position
+    servos)."""
+
+    action_dim: int = 6
+    dt: float = 0.02
+    substeps: int = 8
+    kp: float = 60.0
+    kd: float = 6.0
+    kp_finger: float = 3.0
+    kd_finger: float = 0.3
+
+    name = "relocate-v0"
+
+    def __post_init__(self):
+        from ppi_tpu.envs.physics.engine_soa import (
+            make_single_step_soa, make_sites_soa)
+        model, palm, tips, ball = _build_model()
+        object.__setattr__(self, "_model", model)
+        object.__setattr__(self, "_palm_geom", palm)
+        object.__setattr__(self, "_tip_geoms", tips)
+        object.__setattr__(self, "_ball_geom", ball)
+        object.__setattr__(self, "_step_soa",
+                           make_single_step_soa(model, self.dt, self.substeps))
+        object.__setattr__(self, "_sites_soa", make_sites_soa(model))
+
+    @property
+    def action_low(self):
+        return jnp.array([-1.5, -1.2, -2.0, -2.0, -1.1, -0.6])
+
+    @property
+    def action_high(self):
+        return jnp.array([1.5, 1.2, 2.0, 2.0, 0.6, 1.1])
+
+    @property
+    def target(self):
+        return jnp.asarray(TARGET)
+
+    def reset(self, key):
+        del key
+        # arm posed with the open gripper hovering just above the ball
+        # (mj_envs starts the hand near the table too), wrist link kept
+        # horizontal so the fingers hang straight down; fingers open
+        qpos = jnp.zeros(9).at[:6].set(
+            jnp.array([0.0, -0.346, 1.83, -1.484, 0.5, -0.5]))
+        return RelocateState(
+            physics=PhysicsState(qpos=qpos, qvel=jnp.zeros(9)),
+            t=jnp.zeros((), jnp.int32))
+
+    def _sites(self, qpos):
+        pts = self._sites_soa(qpos)
+        palm = pts[self._palm_geom]
+        tips = sum(pts[g] for g in self._tip_geoms) / len(self._tip_geoms)
+        grasp = 0.5 * (tips + palm)
+        ball = pts[self._ball_geom]
+        return palm, grasp, ball
+
+    def step(self, state, action):
+        target = jnp.clip(action, self.action_low, self.action_high)
+        q, qd = state.physics.qpos, state.physics.qvel
+        kp = jnp.array([self.kp] * 4 + [self.kp_finger] * 2)
+        kd = jnp.array([self.kd] * 4 + [self.kd_finger] * 2)
+        tau = jnp.zeros(9).at[:6].set(kp * (target - q[:6]) - kd * qd[:6])
+        qpos, qvel = self._step_soa(q, qd, tau)
+        phys = PhysicsState(qpos=qpos, qvel=qvel)
+
+        _, grasp, ball = self._sites(qpos)
+        tgt = self.target
+        reach = jnp.linalg.norm(grasp - ball)
+        carry = jnp.linalg.norm(ball - tgt)
+        lifted = ball[2] > TABLE_Z + BALL_RADIUS + 0.015
+        # mj_envs relocate-v0 reward shape: reach + lift gate + carry terms
+        # + staged proximity bonuses
+        reward = (-0.1 * reach
+                  + lifted * (1.0 - 0.5 * jnp.linalg.norm(grasp - tgt)
+                              - 0.5 * carry)
+                  - 1e-4 * jnp.sum(qvel[:6] ** 2)
+                  + 10.0 * (carry < 0.1)
+                  + 20.0 * (carry < 0.05))
+        return state.replace(physics=phys, t=state.t + 1), reward
+
+    def observe(self, state):
+        q, qd = state.physics.qpos, state.physics.qvel
+        palm, grasp, ball = self._sites(q)
+        tgt = self.target
+        return jnp.concatenate([
+            q[:6], qd[:6], palm, grasp, ball,
+            grasp - ball, ball - tgt, grasp - tgt])
+
+    def success(self, state):
+        _, _, ball = self._sites(state.physics.qpos)
+        return jnp.linalg.norm(ball - self.target) < 0.1

@@ -29,7 +29,9 @@ from ppi_tpu.envs.door import Door
 from ppi_tpu.envs.finger import FingerSpin
 from ppi_tpu.envs.hammer import Hammer
 from ppi_tpu.envs.hopper import Hopper
+from ppi_tpu.envs.pen import Pen
 from ppi_tpu.envs.push import FetchPush
+from ppi_tpu.envs.relocate import Relocate
 from ppi_tpu.envs.standup import HumanoidStandup
 from ppi_tpu.envs.walker import Walker
 from ppi_tpu.envs.reacher import Reacher
@@ -47,6 +49,8 @@ ENVS = {
     "finger~spin": FingerSpin,
     "hammer-v0": Hammer,
     "hopper": Hopper,
+    "pen-v0": Pen,
+    "relocate-v0": Relocate,
     "humanoid-standup": HumanoidStandup,
     "fetch-push": FetchPush,
     "walker~walk": Walker,
@@ -72,6 +76,16 @@ def build_parser():
     parser.add_argument("--anneal", type=float, default=1.0)
     parser.add_argument("--host-loop", action="store_true",
                         help="per-step host loop instead of one episode scan")
+    parser.add_argument("--model-selection", type=str, default=None,
+                        help="npz from ppi_tpu.model_selection: build the "
+                             "policy from fitted (mean, covariance_out, "
+                             "kernel params) instead of design_moments "
+                             "(reference: run_mpc.py:53-61)")
+    parser.add_argument("--optimize-prior", action="store_true",
+                        help="after warm start, refit the kernel "
+                             "hyperparameters to the warm-started posterior "
+                             "mean by marginal likelihood (kernel families "
+                             "only; reference: ppi/policies.py:696-713)")
     # algorithm hyperparameters
     parser.add_argument("--n-elites", type=int, default=10)
     parser.add_argument("--alpha", type=float, default=10.0)
@@ -111,10 +125,31 @@ def main(args):
     time_sequence = dt * jnp.arange(span)
     mean, cov_in, cov_out = design_moments(env.action_low, env.action_high,
                                            ratio=1000.0)
+    lengthscale, period = args.lengthscale, dt
+    if args.model_selection is not None:
+        # fitted-prior artifact replaces the design moments
+        # (reference: run_mpc.py:53-61)
+        from ppi_tpu.model_selection import load_model_selection
+        payload = load_model_selection(args.model_selection)
+        if args.policy not in payload:
+            raise SystemExit(
+                f"--model-selection artifact has no entry for "
+                f"{args.policy!r}; available: {sorted(payload)}")
+        moments = payload[args.policy]
+        mean = jnp.asarray(moments["mean"])
+        cov_out = jnp.asarray(moments["covariance_out"])
+        param = np.asarray(moments["param"])
+        cov_in = jnp.asarray(param[:1])  # kernel variance sigma
+        if param.shape[0] > 1:
+            lengthscale = float(param[1])
+        if param.shape[0] > 2:
+            period = float(param[2])
+        logging.info("model selection: %s param=%s kl=%.4f", args.policy,
+                     np.round(param, 4), float(moments.get("kl", np.nan)))
     use_particles = args.algorithm == "iCem"
     family, policy = make_policy(
         args.policy, time_sequence, env.action_dim, mean, cov_in, cov_out,
-        lengthscale=args.lengthscale, period=dt, n_features=args.n_features,
+        lengthscale=lengthscale, period=period, n_features=args.n_features,
         order=args.order, beta=args.beta,
         sampler="Particles" if use_particles else args.sampling,
         lower=env.action_low, upper=env.action_high,
@@ -140,6 +175,16 @@ def main(args):
             viz.plot_algorithm_result(
                 {k: np.asarray(v) for k, v in wtrace.items()},
                 filepath / "result_warmup")
+
+    if args.optimize_prior:
+        if not hasattr(family, "optimize_hyper"):
+            raise SystemExit("--optimize-prior requires a kernel policy "
+                             f"family, got {args.policy!r}")
+        old = np.asarray(carry.policy.hyper)
+        new_policy = family.optimize_hyper(carry.policy, carry.policy.mean)
+        carry = carry.replace(policy=new_policy)
+        logging.info("optimize-prior: hyper %s -> %s", np.round(old, 4),
+                     np.round(np.asarray(new_policy.hyper), 4))
 
     if args.host_loop:
         carry, env_state, track = agent.run_episode(carry, env_state,
