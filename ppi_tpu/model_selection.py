@@ -82,6 +82,21 @@ def fit_kernel_hyperparams(kernel_fn, t, target_cov, hyper0,
     return jnp.exp(x), vals[-1]
 
 
+def default_kernels(dt: float) -> dict:
+    """The kernel families fitted by default, keyed by POLICY name so the
+    artifact plugs straight into run_mpc --model-selection (the reference
+    fits SE/periodic/white per env; reference: model_selection.py:55-99)."""
+    from ppi_tpu.policies.kernels import (
+        k_matern32, k_matern52, k_periodic, k_squared_exponential)
+    ls0 = 5.0 * dt
+    return {
+        "SquaredExponentialKernel": (k_squared_exponential, (1.0, ls0)),
+        "Matern32Kernel": (k_matern32, (1.0, ls0)),
+        "Matern52Kernel": (k_matern52, (1.0, ls0)),
+        "PeriodicKernel": (k_periodic, (1.0, ls0, 20.0 * dt)),
+    }
+
+
 def select_model(expert_actions, horizon: int, kernels: dict, t=None):
     """Full pipeline: expert data -> MN moments -> best-KL kernel per family.
 
@@ -104,3 +119,45 @@ def select_model(expert_actions, horizon: int, kernels: dict, t=None):
             "kl": float(kl),
         }
     return out
+
+
+def save_model_selection(path, payload: dict):
+    """Write a {policy_name: {mean, covariance_out, param, kl}} payload as
+    npz — the counterpart of the reference's model_selection.npz artifact
+    (reference: model_selection.py:163-175, consumed at run_mpc.py:53-61)."""
+    np.savez(path, **{name: np.asarray(entry, dtype=object)
+                      for name, entry in payload.items()})
+
+
+def load_model_selection(path) -> dict:
+    data = np.load(path, allow_pickle=True)
+    return {name: data[name].item() for name in data.files}
+
+
+def main(args):
+    data = np.load(args.expert)
+    actions = data["actions"]
+    dt = float(args.dt)
+    t = dt * jnp.arange(args.horizon)
+    payload = select_model(actions, args.horizon, default_kernels(dt), t=t)
+    for name, entry in payload.items():
+        print(f"{name}: param={np.round(entry['param'], 4)} "
+              f"kl={entry['kl']:.4f}")
+    save_model_selection(args.out, payload)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="Fit matrix-normal moments + kernel hyperparameters to "
+                    "expert action data (the reference's extract_mavn + "
+                    "model_selection pipeline in one step).")
+    p.add_argument("--expert", required=True,
+                   help="npz with an 'actions' (T, d_a) array "
+                        "(from runners.collect_expert)")
+    p.add_argument("--horizon", type=int, default=30)
+    p.add_argument("--dt", type=float, default=0.02)
+    p.add_argument("--out", default="model_selection.npz")
+    main(p.parse_args())

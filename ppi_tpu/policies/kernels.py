@@ -325,6 +325,49 @@ class BaseKernel(MatrixPolicyBase):
         cov = chol @ chol.T
         return state.replace(mean=mean, cov_in=cov, chol_in=chol)
 
+    def optimize_hyper(self, state: KernelState, target_matrix,
+                       steps: int = 200, lr: float = 0.05) -> KernelState:
+        """In-the-loop kernel hyperparameter optimization: minimize
+        ``hyper_nll`` of a target (H, d_a) action matrix over log-hyper with
+        in-graph Adam, then rebuild the prior grams from the optimum.
+
+        The on-device counterpart of the reference's marginal-likelihood fit
+        (reference: ppi/policies.py:696-713, `can_optimize` at 920) — there
+        SciPy L-BFGS-B on the host, here a fixed-iteration jit-safe loop.
+        Hyperparameters are clamped to the family's ``param_bounds``.
+        """
+        n_hyper = int(state.hyper.shape[0])
+        bounds = jnp.asarray(self.param_bounds, dtype=jnp.float32)[:n_hyper]
+        lo, hi = bounds[:, 0], bounds[:, 1]
+
+        def objective(log_hyper):
+            hyper = jnp.clip(jnp.exp(log_hyper), lo, hi)
+            return self.hyper_nll(state, hyper, target_matrix)
+
+        grad_fn = jax.value_and_grad(objective)
+
+        def body(carry, _):
+            x, m, v, i = carry
+            val, g = grad_fn(x)
+            g = jnp.where(jnp.isfinite(g), g, 0.0)
+            m = 0.9 * m + 0.1 * g
+            v = 0.999 * v + 0.001 * g * g
+            mhat = m / (1.0 - 0.9 ** (i + 1.0))
+            vhat = v / (1.0 - 0.999 ** (i + 1.0))
+            x = x - lr * mhat / (jnp.sqrt(vhat) + 1e-8)
+            return (x, m, v, i + 1.0), val
+
+        x0 = jnp.log(jnp.clip(state.hyper, lo, hi))
+        (x, _, _, _), _ = jax.lax.scan(
+            body, (x0, jnp.zeros_like(x0), jnp.zeros_like(x0), 0.0), None,
+            length=steps)
+        hyper = jnp.clip(jnp.exp(x), lo, hi)
+        trial = state.replace(hyper=hyper)
+        cov = self.k(trial, state.t, state.t)
+        chol, _ = ops.safe_cholesky(cov, jitter=0.0)
+        return trial.replace(cov_in=cov, chol_in=chol, cov_in_init=cov,
+                             cov_prior=cov, chol_prior=chol)
+
     def hyper_nll(self, state: KernelState, hyper, target_matrix):
         """Negative log-density of a target (H, d_a) matrix under the prior
         with the given hyperparameters — the objective of the reference's

@@ -65,3 +65,79 @@ class TestKernelFit:
         assert np.isfinite(entry["kl"])
         assert entry["param"].shape == (2,)
         assert entry["covariance_out"].shape == (2, 2)
+
+
+class TestArtifactWiring:
+    """model_selection.npz artifact -> run_mpc --model-selection (the
+    reference's fitted-prior loader; reference: run_mpc.py:53-61)."""
+
+    def test_save_load_roundtrip(self, tmp_path):
+        from ppi_tpu.model_selection import (load_model_selection,
+                                             save_model_selection)
+        payload = {"SquaredExponentialKernel": {
+            "mean": np.array([0.1, -0.2], np.float32),
+            "covariance_out": np.eye(2, dtype=np.float32),
+            "param": np.array([1.5, 0.07], np.float32),
+            "kl": 0.01}}
+        path = tmp_path / "model_selection.npz"
+        save_model_selection(path, payload)
+        back = load_model_selection(path)
+        entry = back["SquaredExponentialKernel"]
+        np.testing.assert_allclose(entry["mean"], payload[
+            "SquaredExponentialKernel"]["mean"])
+        np.testing.assert_allclose(entry["param"], [1.5, 0.07])
+
+    def test_run_mpc_consumes_artifact(self, tmp_path):
+        """collect (synthetic) expert -> select_model -> run_mpc builds the
+        policy from the fitted artifact: the fitted lengthscale and output
+        covariance must land in the constructed kernel state."""
+        from ppi_tpu.model_selection import (default_kernels,
+                                             save_model_selection,
+                                             select_model)
+        from ppi_tpu.runners import run_mpc
+
+        rng = np.random.default_rng(1)
+        raw = rng.normal(size=(200, 1)).astype(np.float32)
+        smooth = np.convolve(raw[:, 0], np.ones(8) / 8, "same")[:, None]
+        dt = 0.05
+        kernels = {"SquaredExponentialKernel":
+                   default_kernels(dt)["SquaredExponentialKernel"]}
+        payload = select_model(smooth, horizon=8, kernels=kernels,
+                               t=dt * jnp.arange(8))
+        path = tmp_path / "model_selection.npz"
+        save_model_selection(path, payload)
+
+        args = run_mpc.build_parser().parse_args([
+            "Mppi", "pendulum", "SquaredExponentialKernel",
+            "--timesteps", "10", "--horizon", "8",
+            "--n-warmstart-iters", "0", "--no-plots",
+            "--model-selection", str(path),
+            "MonteCarlo", "--n-samples", "16"])
+        ret, track = run_mpc.main(args)
+        assert np.isfinite(ret)
+
+    def test_optimize_hyper_improves_nll(self):
+        from ppi_tpu.policies import design_moments, make_policy
+        from ppi_tpu.policies.kernels import k_squared_exponential
+
+        h, d_a = 12, 1
+        t = 0.05 * jnp.arange(h)
+        lower, upper = -jnp.ones(1), jnp.ones(1)
+        mean, ci, co = design_moments(lower, upper, 100.0)
+        fam, state = make_policy("SquaredExponentialKernel", t, d_a, mean,
+                                 ci, co, lengthscale=1.0,
+                                 lower=lower, upper=upper)
+        # target drawn from a much shorter-lengthscale GP
+        true = k_squared_exponential(jnp.array([1.0, 0.08]), t, t)
+        chol = jnp.linalg.cholesky(true + 1e-8 * jnp.eye(h))
+        target = chol @ jax.random.normal(jax.random.key(0), (h, d_a))
+        nll0 = float(fam.hyper_nll(state, state.hyper, target))
+        new = fam.optimize_hyper(state, target, steps=300)
+        nll1 = float(fam.hyper_nll(state, new.hyper, target))
+        assert nll1 < nll0
+        assert not np.allclose(np.asarray(new.hyper),
+                               np.asarray(state.hyper))
+        # the rebuilt prior grams reflect the new hyperparameters
+        np.testing.assert_allclose(
+            np.asarray(new.cov_in),
+            np.asarray(k_squared_exponential(new.hyper, t, t)), rtol=1e-5)
