@@ -37,7 +37,8 @@ from ppi_tpu.envs.physics.engine import HINGE
 N_PARTICLES = 12          # string discretization (reference: 29 capsules)
 STRING_LENGTH = 0.37      # metres, anchor to ball
 BALL_MASS = 0.021         # kg (reference scene ball)
-PARTICLE_MASS = 0.002
+STRING_MASS = 0.024       # total string mass, split over the particles so
+PARTICLE_MASS = STRING_MASS / N_PARTICLES  # resolution preserves the physics
 BALL_RADIUS = 0.02
 CUP_INNER_RADIUS = 0.069 / 2.0   # (reference: envs.py:197)
 CUP_DEPTH = 0.075
@@ -97,6 +98,8 @@ class BallInCupSim:
 
     dt: float = 2e-3           # effective control step (reference: 5e-4 x 4)
     pbd_iterations: int = 15
+    n_particles: int = N_PARTICLES   # string resolution (reference: 29 caps)
+    same_step_coupling: bool = False  # predictor-corrector arm<->string step
     stabilize_steps: int = 250
     cooldown_steps: int = 350
     dipole_eps: float = 1e-3   # (reference: envs.py:198)
@@ -130,8 +133,17 @@ class BallInCupSim:
         return bottom, top, up
 
     # ---- string (PBD) -----------------------------------------------------
+    @property
+    def _effective_pbd_iterations(self) -> int:
+        """Jacobi distance projection converges in O(segments^2) sweeps, so
+        the iteration count scales quadratically with string resolution —
+        this is what makes ball trajectories resolution-invariant (12 vs 24
+        particles agree to ~3 mm RMS; see tests/test_episodic.py)."""
+        scale = (self.n_particles / float(N_PARTICLES)) ** 2
+        return max(1, int(round(self.pbd_iterations * scale)))
+
     def _string_rest_lengths(self):
-        return STRING_LENGTH / (N_PARTICLES)
+        return STRING_LENGTH / (self.n_particles)
 
     def _pbd_step(self, particles, particles_prev, anchor, qpos):
         """One Verlet + distance-projection step of the particle chain.
@@ -139,7 +151,8 @@ class BallInCupSim:
         ball (heavier -> smaller projection weight)."""
         seg = self._string_rest_lengths()
         dt = self.dt
-        masses = jnp.full((N_PARTICLES + 1,), PARTICLE_MASS).at[-1].set(
+        masses = jnp.full((self.n_particles + 1,),
+                          STRING_MASS / self.n_particles).at[-1].set(
             BALL_MASS)
         w = 1.0 / masses
         w = w.at[0].set(0.0)  # pinned anchor
@@ -168,7 +181,7 @@ class BallInCupSim:
             return pred, None
 
         pred, _ = jax.lax.scan(jacobi_iter, pred, None,
-                               length=self.pbd_iterations)
+                               length=self._effective_pbd_iterations)
 
         # ball-vs-cup contact: position projection against the cup solid.
         # The cup is a capped cylinder shell; the wall is a solid annulus
@@ -214,36 +227,51 @@ class BallInCupSim:
         reward-statistic accumulation. Returns (state, None)."""
         from ppi_tpu.envs.physics.engine_soa import forward_dynamics_soa
         q, qd = state.arm.qpos, state.arm.qvel
-        tau = jnp.asarray(P_GAINS) * (q_des - q) + jnp.asarray(D_GAINS) * (
+        tau_pd = jnp.asarray(P_GAINS) * (q_des - q) + jnp.asarray(D_GAINS) * (
             qd_des - qd)
-        # two-way coupling: the string's reaction from the previous step acts
-        # on the arm through the anchor-point Jacobian (J^T F via vjp)
+        # two-way coupling: the string reaction acts on the arm through the
+        # anchor-point Jacobian (J^T F via vjp)
         anchor_fn = lambda qq: self.cup_frame(qq)[0]
         _, vjp_fn = jax.vjp(anchor_fn, q)
-        tau = tau + vjp_fn(state.string_force)[0]
-        qdd_tuple, _ = forward_dynamics_soa(
-            self._soa, tuple(q), tuple(qd), tuple(tau))
-        qdd = jnp.stack(qdd_tuple)
-        qd_new = qd + self.dt * qdd
-        q_new = q + self.dt * qd_new
+
+        def integrate_arm(reaction):
+            tau = tau_pd + vjp_fn(reaction)[0]
+            qdd_tuple, _ = forward_dynamics_soa(
+                self._soa, tuple(q), tuple(qd), tuple(tau))
+            qdd = jnp.stack(qdd_tuple)
+            qd_new = qd + self.dt * qdd
+            return q + self.dt * qd_new, qd_new
+
+        def string_pass(q_new):
+            bottom, _, _ = self.cup_frame(q_new)
+            particles, particles_prev = self._pbd_step(
+                state.particles, state.particles_prev, bottom, q_new)
+            # String reaction on the arm (Newton on non-anchor particles):
+            # F_anchor->string = dp/dt - m g  =>  reaction = -F.
+            masses = jnp.full((self.n_particles + 1,),
+                              STRING_MASS / self.n_particles).at[-1].set(
+                BALL_MASS)[1:, None]
+            v_new = (particles[1:] - particles_prev[1:]) / self.dt
+            v_old = ((state.particles[1:] - state.particles_prev[1:])
+                     / self.dt)
+            dp = jnp.sum(masses * (v_new - v_old), axis=0) / self.dt
+            g_vec = (jnp.array([0.0, 0.0, -9.81])
+                     * float(STRING_MASS + BALL_MASS))
+            reaction = -(dp - g_vec)
+            # clip for robustness against PBD projection spikes
+            return particles, particles_prev, jnp.clip(reaction, -30.0, 30.0)
+
+        # predictor: arm integrated with the previous step's reaction
+        q_new, qd_new = integrate_arm(state.string_force)
+        particles, particles_prev, reaction = string_pass(q_new)
+        if self.same_step_coupling:
+            # corrector: re-integrate the arm with the reaction computed for
+            # THIS step (removes the one-step force lag; used to validate
+            # that the lag is immaterial at dt = 2 ms)
+            q_new, qd_new = integrate_arm(reaction)
+            particles, particles_prev, reaction = string_pass(q_new)
         arm = PhysicsState(qpos=q_new, qvel=qd_new)
-
-        bottom, top, up = self.cup_frame(q_new)
-        particles, particles_prev = self._pbd_step(
-            state.particles, state.particles_prev, bottom, q_new)
-
-        # String reaction on the arm (Newton on the non-anchor particles):
-        # F_anchor->string = dp/dt - m g  =>  reaction = -F.
-        masses = jnp.full((N_PARTICLES + 1,), PARTICLE_MASS).at[-1].set(
-            BALL_MASS)[1:, None]
-        v_new = (particles[1:] - particles_prev[1:]) / self.dt
-        v_old = (state.particles[1:] - state.particles_prev[1:]) / self.dt
-        dp = jnp.sum(masses * (v_new - v_old), axis=0) / self.dt
-        m_total = float(N_PARTICLES * PARTICLE_MASS + BALL_MASS)
-        g_vec = jnp.array([0.0, 0.0, -9.81]) * m_total
-        reaction = -(dp - g_vec)
-        # clip for robustness against PBD projection spikes
-        reaction = jnp.clip(reaction, -30.0, 30.0)
+        bottom, top, _ = self.cup_frame(q_new)
 
         # --- streamed reward statistics (reference: ball_in_a_cup.py:513-581)
         ball = particles[-1]
@@ -291,7 +319,7 @@ class BallInCupSim:
     def reset(self, q0):
         bottom, top, up = self.cup_frame(q0)
         # string hangs straight down from the cup bottom
-        ts = jnp.linspace(0.0, 1.0, N_PARTICLES + 1)[:, None]
+        ts = jnp.linspace(0.0, 1.0, self.n_particles + 1)[:, None]
         particles = bottom[None, :] + ts * jnp.array(
             [0.0, 0.0, -STRING_LENGTH])[None, :]
         return BicState(
