@@ -1,4 +1,4 @@
-"""Episode rendering to GIF.
+"""Episode rendering to GIF / video.
 
 Counterpart of the reference's video outputs (offscreen MuJoCo rendering to
 mp4/gif; reference: run_mpc.py:75-89, utils.py:33-70,
@@ -44,6 +44,36 @@ def save_gif(path, draw_frame, n_frames: int, xlim=(-1.5, 1.5),
     return Path(path)
 
 
+def save_video(path, draw_frame, n_frames: int, xlim=(-1.5, 1.5),
+               ylim=(-0.2, 2.2), fps: int = 25, stride: int = 1):
+    """Like ``save_gif`` but streamed through VideoRenderStream (mp4 via
+    imageio-ffmpeg when present, else the pure-Python MJPEG AVI muxer) —
+    the counterpart of the reference's video outputs (reference:
+    utils.py:33-70, run_mpc.py:75-89)."""
+    from ppi_tpu.utils.video import VideoRenderStream
+
+    out = None
+    with VideoRenderStream(Path(path), fps=fps) as stream:
+        for t in range(0, n_frames, stride):
+            fig, ax = _fig(xlim, ylim)
+            draw_frame(ax, t)
+            fig.canvas.draw()
+            buf = np.asarray(fig.canvas.buffer_rgba())[..., :3]
+            stream.append(buf.copy())
+            import matplotlib.pyplot as plt
+            plt.close(fig)
+        out = stream.path
+    return out
+
+
+def _save(path, draw, n_frames, **kw):
+    """Dispatch on suffix: .gif via imageio, anything else through the
+    VideoRenderStream backends (.mp4 / .avi)."""
+    if Path(path).suffix == ".gif":
+        return save_gif(path, draw, n_frames, **kw)
+    return save_video(path, draw, n_frames, **kw)
+
+
 def _chain_xz(frames_fn, qpos):
     """(rot, pos) FK -> [(x, z), ...] joint-origin polyline."""
     rot, pos = frames_fn(qpos)
@@ -77,7 +107,7 @@ def render_door(env, qpos_history, path, stride=2):
         ax.plot(*np.asarray(handle)[:2], "s", ms=8, color="C3")
         ax.set_title(f"door={q[4]:.2f} latch={q[5]:.2f}")
 
-    return save_gif(path, draw, qpos_history.shape[0], xlim=(-0.3, 1.3),
+    return _save(path, draw, qpos_history.shape[0], xlim=(-0.3, 1.3),
                     ylim=(-0.9, 0.7), stride=stride)
 
 
@@ -104,7 +134,7 @@ def render_planar(env, qpos_history, path, stride=2, xlim=None):
                         "o-", lw=3, color="C0", ms=4)
         ax.set_title(f"x={q[0]:.2f}")
 
-    return save_gif(path, draw, qpos_history.shape[0], xlim=xlim,
+    return _save(path, draw, qpos_history.shape[0], xlim=xlim,
                     ylim=(-0.2, 2.0), stride=stride)
 
 
@@ -137,7 +167,7 @@ def render_ball_in_a_cup(sim, qpos_history, particles_history, path,
         ax.plot(parts[:, 0], parts[:, 2], "-", lw=1, color="gray")
         ax.plot(parts[-1, 0], parts[-1, 2], "o", ms=8, color="C3")
 
-    return save_gif(path, draw, qpos_history.shape[0], xlim=(-0.6, 1.0),
+    return _save(path, draw, qpos_history.shape[0], xlim=(-0.6, 1.0),
                     ylim=(0.6, 2.4), stride=stride)
 
 
