@@ -73,7 +73,7 @@ class Walker:
     substeps: int = 4
     max_torque: float = 35.0
 
-    name = "walker~walk"
+    name = "walker2d"
 
     def __post_init__(self):
         from ppi_tpu.envs.physics.engine_soa import make_single_step_soa
@@ -115,3 +115,45 @@ class Walker:
     def observe(self, state):
         q, qd = state.physics.qpos, state.physics.qvel
         return jnp.concatenate([q[1:], qd])
+
+
+def _tolerance(x, lower, upper, margin, value_at_margin=0.1):
+    """dm_control rewards.tolerance with the gaussian sigmoid: 1 inside
+    [lower, upper], decaying to ``value_at_margin`` at ``margin`` outside
+    (the reward primitive of the dm_control suite tasks)."""
+    below = jnp.maximum(lower - x, 0.0)
+    above = jnp.maximum(x - upper, 0.0)
+    d = (below + above) / jnp.maximum(margin, 1e-9)
+    scale = jnp.sqrt(-2.0 * jnp.log(value_at_margin))
+    return jnp.exp(-0.5 * (d * scale) ** 2)
+
+
+@dataclasses.dataclass(frozen=True)
+class WalkerWalk(Walker):
+    """dm_control ``walker~walk`` reward variant on the same embodiment:
+    stand term (torso height + uprightness tolerances) gated with a
+    horizontal-speed tolerance, reward in [0, 1] per step — the reference
+    env zoo treats Walker2d-v2 (gym shaping, class ``Walker``) and
+    walker~walk (dm_control shaping, this class) as distinct envs
+    (reference: run_mpc.py:37, 44)."""
+
+    walk_speed: float = 1.0
+    stand_height: float = 1.0
+
+    name = "walker~walk"
+
+    def step(self, state, action):
+        tau_leg = jnp.clip(action, self.action_low, self.action_high)
+        tau = jnp.zeros(NQ).at[3:].set(tau_leg)
+        qpos, qvel = self._step_soa(state.physics.qpos, state.physics.qvel,
+                                    tau)
+        phys = PhysicsState(qpos=qpos, qvel=qvel)
+        z = qpos[1] + TORSO_Z0
+        upright = jnp.cos(qpos[2])
+        standing = _tolerance(z, self.stand_height, jnp.inf,
+                              margin=self.stand_height / 2.0)
+        stand_reward = standing * (1.0 + jnp.maximum(upright, 0.0)) / 2.0
+        move = _tolerance(qvel[0], self.walk_speed, jnp.inf,
+                          margin=self.walk_speed / 2.0, value_at_margin=0.5)
+        reward = stand_reward * (5.0 * move + 1.0) / 6.0
+        return state.replace(physics=phys, t=state.t + 1), reward

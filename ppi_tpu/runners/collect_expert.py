@@ -28,10 +28,14 @@ def main(args):
     env = build_env(args.env)
     mean, ci, co = design_moments(env.action_low, env.action_high,
                                   ratio=1000.0)
-    fam, pol = make_policy("ColouredNoise", env.dt * jnp.arange(args.horizon),
+    fam, pol = make_policy(args.policy, env.dt * jnp.arange(args.horizon),
                            env.action_dim, mean, ci, co, beta=2.0,
+                           lengthscale=args.lengthscale,
                            lower=env.action_low, upper=env.action_high)
-    agent = Mpc(env=env, solver=make_solver("Mppi", alpha=5.0), family=fam,
+    agent = Mpc(env=env,
+                solver=make_solver(args.algorithm, alpha=5.0, delta=0.9,
+                                   n_elites=max(1, args.n_samples // 10)),
+                family=fam,
                 timesteps=args.timesteps, horizon=args.horizon,
                 n_samples=args.n_samples)
     all_obs, all_act, all_rew = [], [], []
@@ -57,6 +61,9 @@ if __name__ == "__main__":
     enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--env", default="door-v0")
+    p.add_argument("--policy", default="ColouredNoise")
+    p.add_argument("--algorithm", default="Mppi")
+    p.add_argument("--lengthscale", type=float, default=0.08)
     p.add_argument("--episodes", type=int, default=3)
     p.add_argument("--timesteps", type=int, default=250)
     p.add_argument("--horizon", type=int, default=30)

@@ -25,14 +25,8 @@ TIMESTEPS = 250
 
 
 def build_env(name):
-    from ppi_tpu.envs.cheetah import Cheetah
-    from ppi_tpu.envs.classic import Cartpole, Pendulum
-    from ppi_tpu.envs.door import Door
-    from ppi_tpu.envs.reacher import Reacher
-    from ppi_tpu.envs.standup import HumanoidStandup
-    return {"pendulum": Pendulum, "cartpole": Cartpole, "reacher": Reacher,
-            "door-v0": Door, "cheetah": Cheetah,
-            "humanoid-standup": HumanoidStandup}[name]()
+    from ppi_tpu.runners.run_mpc import ENVS  # single registry of envs
+    return ENVS[name]()
 
 
 def profile_one(env, policy_name, solver_name, n_samples, runs,

@@ -33,7 +33,7 @@ from ppi_tpu.envs.pen import Pen
 from ppi_tpu.envs.push import FetchPush
 from ppi_tpu.envs.relocate import Relocate
 from ppi_tpu.envs.standup import HumanoidStandup
-from ppi_tpu.envs.walker import Walker
+from ppi_tpu.envs.walker import Walker, WalkerWalk
 from ppi_tpu.envs.reacher import Reacher
 from ppi_tpu.mpc import Mpc, fft_smoothness, signal_power
 from ppi_tpu.policies import POLICY_NAMES, design_moments, make_policy
@@ -53,7 +53,8 @@ ENVS = {
     "relocate-v0": Relocate,
     "humanoid-standup": HumanoidStandup,
     "fetch-push": FetchPush,
-    "walker~walk": Walker,
+    "walker2d": Walker,
+    "walker~walk": WalkerWalk,
 }
 
 
@@ -73,6 +74,11 @@ def build_parser():
     parser.add_argument("--no-plots", action="store_true")
     parser.add_argument("--render", action="store_true",
                         help="save a schematic episode GIF (engine envs)")
+    parser.add_argument("--video-format", choices=["gif", "avi", "mp4"],
+                        default="gif",
+                        help="episode render container: gif (imageio), avi "
+                             "(pure-Python MJPEG muxer), mp4 (needs "
+                             "imageio-ffmpeg; degrades to avi otherwise)")
     parser.add_argument("--anneal", type=float, default=1.0)
     parser.add_argument("--host-loop", action="store_true",
                         help="per-step host loop instead of one episode scan")
@@ -81,6 +87,10 @@ def build_parser():
                              "policy from fitted (mean, covariance_out, "
                              "kernel params) instead of design_moments "
                              "(reference: run_mpc.py:53-61)")
+    parser.add_argument("--ms-fitted-scale", action="store_true",
+                        help="with --model-selection, keep the expert's "
+                             "absolute action variance instead of rescaling "
+                             "to the actuator-box exploration scale")
     parser.add_argument("--optimize-prior", action="store_true",
                         help="after warm start, refit the kernel "
                              "hyperparameters to the warm-started posterior "
@@ -144,6 +154,15 @@ def main(args):
             lengthscale = float(param[1])
         if param.shape[0] > 2:
             period = float(param[2])
+        if not args.ms_fitted_scale:
+            # Keep the fitted temporal/output CORRELATION structure but
+            # restore the actuator-box exploration scale: a converged
+            # expert's action variance is far too small to explore from
+            # (a design-moments prior with fitted smoothness).
+            design_var = 0.25 * (env.action_high - env.action_low) ** 2
+            fitted_var = cov_in[0] * jnp.diagonal(cov_out)
+            d = jnp.sqrt(design_var / jnp.maximum(fitted_var, 1e-12))
+            cov_out = cov_out * jnp.outer(d, d)
         logging.info("model selection: %s param=%s kl=%.4f", args.policy,
                      np.round(param, 4), float(moments.get("kl", np.nan)))
     use_particles = args.algorithm == "iCem"
@@ -216,12 +235,13 @@ def main(args):
     if args.render and filepath is not None and "qpos" in track:
         from ppi_tpu import render as render_mod
         qh = np.asarray(track["qpos"])
+        out = filepath / f"episode.{args.video_format}"
         try:
             if args.env == "door-v0":
-                render_mod.render_door(env, qh, filepath / "episode.gif")
+                out = render_mod.render_door(env, qh, out)
             else:
-                render_mod.render_planar(env, qh, filepath / "episode.gif")
-            logging.info("rendered %s", filepath / "episode.gif")
+                out = render_mod.render_planar(env, qh, out)
+            logging.info("rendered %s", out)
         except Exception:
             logging.exception("rendering failed")
 

@@ -156,3 +156,35 @@ class TestFetchPush:
             jax.random.key(1), (6, 40, 4))
         fs, rew = batch_rollout(env, s0, acts)
         assert np.isfinite(np.asarray(rew)).all()
+
+
+class TestWalkerWalkVariant:
+    def test_dm_control_reward_bounded_and_distinct(self):
+        """walker~walk (dm_control tolerance shaping) vs walker2d (gym
+        shaping) are distinct envs on the same embodiment
+        (reference: run_mpc.py:37, 44)."""
+        import jax
+        from ppi_tpu.envs.walker import Walker, WalkerWalk
+
+        gym_env, dmc_env = Walker(), WalkerWalk()
+        s = dmc_env.reset(jax.random.key(0))
+        acts = 10.0 * jax.random.normal(jax.random.key(1), (4, 30, 6))
+        _, rew_dmc = batch_rollout(dmc_env, s, acts)
+        _, rew_gym = batch_rollout(gym_env, gym_env.reset(jax.random.key(0)),
+                                   acts)
+        rew_dmc = np.asarray(rew_dmc)
+        assert np.isfinite(rew_dmc).all()
+        # dm_control rewards live in [0, 1]
+        assert (rew_dmc >= 0.0).all() and (rew_dmc <= 1.0).all()
+        # different shaping than the gym variant
+        assert not np.allclose(rew_dmc, np.asarray(rew_gym))
+
+    def test_tolerance_primitive(self):
+        import jax.numpy as jnp
+        from ppi_tpu.envs.walker import _tolerance
+
+        assert float(_tolerance(jnp.asarray(1.5), 1.0, jnp.inf, 0.5)) == 1.0
+        at_margin = float(_tolerance(jnp.asarray(0.5), 1.0, jnp.inf, 0.5))
+        np.testing.assert_allclose(at_margin, 0.1, rtol=1e-5)
+        far = float(_tolerance(jnp.asarray(-2.0), 1.0, jnp.inf, 0.5))
+        assert far < 1e-3
