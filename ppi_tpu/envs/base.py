@@ -37,12 +37,16 @@ class Env(Protocol):
         ...
 
 
-def rollout(env, state0, action_sequence, guard: bool = True):
+def rollout(env, state0, action_sequence, guard: bool = True,
+            unroll: int = 1):
     """Roll one action sequence; returns (final_state, rewards (H,)).
 
     With ``guard``, a non-finite state poisons only the remaining steps of
     THIS rollout (reward -> NaN), mirroring the reference's divergence
-    containment per worker rollout.
+    containment per worker rollout. ``unroll`` trades compile time for fewer
+    sequential scan iterations — the north-star workload is latency-bound on
+    ~H sequential fused kernels (see RESULTS.md roofline), so unrolling the
+    horizon scan shortens the critical path.
     """
 
     def body(state, action):
@@ -53,21 +57,23 @@ def rollout(env, state0, action_sequence, guard: bool = True):
             reward = jnp.where(bad, jnp.nan, reward)
         return next_state, reward
 
-    return jax.lax.scan(body, state0, action_sequence)
+    return jax.lax.scan(body, state0, action_sequence, unroll=unroll)
 
 
-def batch_rollout(env, state0, action_sequences, guard: bool = True):
+def batch_rollout(env, state0, action_sequences, guard: bool = True,
+                  unroll: int = 1):
     """vmap over the sample axis: (N, H, d_a) -> (final_states, (N, H) rewards).
 
     ``state0`` is a single state, broadcast to every lane (the MPC case:
     every sampled plan starts from the frozen real-env state, the analogue of
     the reference's FreezeMujoco context; reference: mpc/wrappers.py:34-51).
     """
-    return jax.vmap(lambda acts: rollout(env, state0, acts, guard))(
+    return jax.vmap(lambda acts: rollout(env, state0, acts, guard, unroll))(
         action_sequences)
 
 
-def mpc_objective(env, state0, horizon_mask=None, guard: bool = True):
+def mpc_objective(env, state0, horizon_mask=None, guard: bool = True,
+                  unroll: int = 1):
     """Build the ``f(key, actions) -> costs`` callable the solvers consume.
 
     ``horizon_mask`` (H,) zeroes rewards beyond the episode end — the
@@ -78,7 +84,8 @@ def mpc_objective(env, state0, horizon_mask=None, guard: bool = True):
 
     def f(key, action_sequences):
         del key
-        _, rewards = batch_rollout(env, state0, action_sequences, guard)
+        _, rewards = batch_rollout(env, state0, action_sequences, guard,
+                                   unroll)
         if horizon_mask is not None:
             rewards = rewards * horizon_mask[None, :]
         return -jnp.sum(rewards, axis=1)

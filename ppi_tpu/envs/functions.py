@@ -9,7 +9,6 @@ ignore the key (a uniform signature keeps the solve loop monomorphic).
 """
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ppi_tpu.envs.physics.engine import HINGE, SLIDE, ArticulatedModel
+from ppi_tpu.envs.physics.engine import HINGE, ArticulatedModel
 
 Vec3 = Tuple  # (x, y, z) scalars
 Mat3 = Tuple  # 9 scalars, row-major

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from ppi_tpu.algorithms.base import _one_iteration, mask_costs
+from ppi_tpu.algorithms.base import _one_iteration
 from ppi_tpu.envs.base import mpc_objective
 
 

@@ -17,7 +17,6 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
-from flax import struct
 
 from ppi_tpu import ops
 from ppi_tpu.policies.design import clip_actions
@@ -26,7 +25,6 @@ from ppi_tpu.policies.primitives import (
     MatrixPolicyBase,
     init_particle_buffer,
 )
-from ppi_tpu.samplers import SamplerKind
 
 
 class FeatureState(MatrixNormalState):

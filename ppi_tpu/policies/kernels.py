@@ -23,7 +23,6 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
-from flax import struct
 
 from ppi_tpu import ops
 from ppi_tpu.policies.design import clip_actions

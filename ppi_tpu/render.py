@@ -199,3 +199,69 @@ def trace_bic_trajectory(sim, q0, qs, qds):
                                    length=sim.cooldown_steps)
     return (jnp.concatenate([q_hist, q2]), jnp.concatenate([p_hist, p2]),
             state)
+
+
+def render_relocate(env, qpos_history, path, stride=2):
+    """Side view (x-z) of the relocate task: arm, caging fingers, free ball,
+    in-air target."""
+    qpos_history = np.asarray(qpos_history)
+    from ppi_tpu.envs.physics.engine_soa import make_body_frames_soa
+    from ppi_tpu.envs.relocate import BALL_RADIUS, TABLE_Z
+    frames_fn = make_body_frames_soa(env._model)
+    sites = env._sites_soa
+    target = np.asarray(env.target)
+
+    def draw(ax, t):
+        q = qpos_history[t]
+        rot, pos = frames_fn(q)
+        pos = np.asarray(pos)
+        pts = np.asarray(sites(q))
+        ax.axhline(TABLE_Z, color="k", lw=1)
+        # arm chain (x-z)
+        palm = pts[0]
+        xs = list(pos[:4, 0]) + [float(palm[0])]
+        zs = list(pos[:4, 2]) + [float(palm[2])]
+        ax.plot(xs, zs, "o-", lw=3, color="C0", ms=4)
+        # fingers: knuckle -> fork tips
+        for knuckle, tips in ((4, (1, 2)), (5, (3, 4))):
+            for tip in tips:
+                ax.plot([pos[knuckle, 0], pts[tip][0]],
+                        [pos[knuckle, 2], pts[tip][2]], "-", lw=2,
+                        color="C2")
+        ball = pts[5]
+        circ = np.linspace(0, 2 * np.pi, 24)
+        ax.plot(ball[0] + BALL_RADIUS * np.cos(circ),
+                ball[2] + BALL_RADIUS * np.sin(circ), color="C3")
+        ax.plot(target[0], target[2], "*", ms=14, color="C1")
+        dist = np.linalg.norm(ball - target)
+        ax.set_title(f"ball-target {dist:.3f} m")
+
+    return _save(path, draw, qpos_history.shape[0], xlim=(-0.2, 1.1),
+                 ylim=(0.3, 1.4), stride=stride)
+
+
+def render_pen(env, qpos_history, path, stride=2):
+    """Top/side two-projection schematic of the pen task: rod, fingertips,
+    target orientation ray."""
+    qpos_history = np.asarray(qpos_history)
+    from ppi_tpu.envs.pen import HOLD_POS, PEN_HALF
+    hold = np.asarray(HOLD_POS)
+    tgt = np.asarray(env._target_axis)
+
+    def draw(ax, t):
+        q = qpos_history[t]
+        pts = np.asarray(env._sites_soa(q))
+        ea, eb = pts[0], pts[1]
+        tip_a, tip_b = pts[2], pts[3]
+        # side view (x-z), centred on the hold point
+        ax.plot([ea[0], eb[0]], [ea[2], eb[2]], "-", lw=4, color="C0")
+        ax.plot([tip_a[0]], [tip_a[2]], "o", ms=8, color="C2")
+        ax.plot([tip_b[0]], [tip_b[2]], "o", ms=8, color="C2")
+        ray = np.stack([hold - PEN_HALF * tgt, hold + PEN_HALF * tgt])
+        ax.plot(ray[:, 0], ray[:, 2], "--", lw=2, color="C1")
+        axis = (ea - eb) / (np.linalg.norm(ea - eb) + 1e-9)
+        ax.set_title(f"similarity {float(axis @ tgt):.3f}")
+
+    return _save(path, draw, qpos_history.shape[0],
+                 xlim=(hold[0] - 0.2, hold[0] + 0.2),
+                 ylim=(hold[2] - 0.2, hold[2] + 0.2), stride=stride)

@@ -239,6 +239,10 @@ def main(args):
         try:
             if args.env == "door-v0":
                 out = render_mod.render_door(env, qh, out)
+            elif args.env == "relocate-v0":
+                out = render_mod.render_relocate(env, qh, out)
+            elif args.env == "pen-v0":
+                out = render_mod.render_pen(env, qh, out)
             else:
                 out = render_mod.render_planar(env, qh, out)
             logging.info("rendered %s", out)

@@ -40,6 +40,9 @@ def build_parser():
     parser.add_argument("--render", action="store_true",
                         help="save a GIF of the learned mean trajectory "
                              "(BallInACup)")
+    parser.add_argument("--n-string-particles", type=int, default=0,
+                        help="override the BiC string resolution (0 = env "
+                             "default; fidelity studies)")
     parser.add_argument("--track-diagnostics", action="store_true",
                         help="compute matrix-normal entropy/KL telemetry "
                              "(the reference disables these by commenting "
@@ -77,6 +80,12 @@ def main(args):
     setup_logging(filepath, args)
 
     env = EPISODIC_ENVS[args.env]()
+    if args.n_string_particles and args.env == "BallInACup":
+        from ppi_tpu.envs.ball_in_a_cup import BallInCupSim
+        object.__setattr__(env, "sim",
+                           BallInCupSim(n_particles=args.n_string_particles))
+        logging.info("BiC string resolution: %d particles",
+                     args.n_string_particles)
     # canonical prior hyperparameters (reference: run_policy_search.py:62-74)
     family, policy = make_policy(
         args.policy, env.t, env.dim_action, env.action_0,

@@ -6,7 +6,6 @@ figures, driven from the stacked-array traces our scan loops emit. Matplotlib
 is imported lazily so headless/batch runs never pay for it.
 """
 
-from pathlib import Path
 
 import numpy as np
 
