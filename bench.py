@@ -41,7 +41,23 @@ def build():
         lower=env.action_low, upper=env.action_high)
     solver = make_solver("Lbps", delta=0.9)
     env_state = env.reset(jax.random.key(0))
-    f = mpc_objective(env, env_state)
+    if jax.default_backend() != "cpu":
+        # whole-rollout Pallas megakernel: measured ~10-20% faster than the
+        # scan path on v5e and 2.5x faster to compile (see RESULTS.md);
+        # fall back to the XLA scan path if the kernel fails to build
+        try:
+            from ppi_tpu.envs.physics.pallas_rollout import (
+                pallas_mpc_objective)
+            f = pallas_mpc_objective(env, env_state, HORIZON,
+                                     block=min(1024, N_SAMPLES))
+            jax.jit(f)(jax.random.key(0), jnp.zeros(
+                (N_SAMPLES, HORIZON, env.action_dim))).block_until_ready()
+        except Exception as e:  # pragma: no cover - TPU-runtime dependent
+            print(f"# pallas rollout unavailable ({e!r}); "
+                  "using the XLA scan path", file=sys.stderr)
+            f = mpc_objective(env, env_state)
+    else:
+        f = mpc_objective(env, env_state)
     step = jax.jit(_one_iteration(solver, family, f, N_SAMPLES))
     return step, policy
 

@@ -166,6 +166,44 @@ class Door:
                   + 10.0 * (door_pos > 1.35))
         return state.replace(physics=phys, t=state.t + 1), reward
 
+    # ---- scalar-SoA kernel contract (pallas_rollout) ------------------
+    # The same dynamics/reward as step(), written over per-lane scalar
+    # tuples so the whole rollout can trace inside the Pallas megakernel
+    # (cross-validated against batch_rollout in tests/test_pallas_rollout).
+
+    _ACTION_LOW = (-1.5, -1.2, -2.0, -2.0)
+    _ACTION_HIGH = (1.5, 1.2, 2.0, 2.0)
+
+    def scalar_torque(self, m, q, qd, act):
+        tau = []
+        for j in range(4):
+            tgt = jnp.clip(act[j], self._ACTION_LOW[j], self._ACTION_HIGH[j])
+            tau.append(self.kp * (tgt - q[j]) - self.kd * qd[j])
+        engaged = jax.nn.sigmoid((q[LATCH] - self.latch_unlock_angle) / 0.05)
+        closed = jax.nn.sigmoid((0.08 - q[DOOR]) / 0.03)
+        tau.append(-engaged * closed * self.lock_stiffness * q[DOOR])
+        tau.append(jnp.zeros_like(q[LATCH]))
+        return tuple(tau)
+
+    def scalar_reward(self, m, q, qd):
+        from ppi_tpu.envs.physics.engine_soa import fk_soa, geom_point_soa
+        rots, poss, _, _ = fk_soa(m, q)
+        palm = geom_point_soa(m, rots, poss, self._palm_geom)
+        ha = geom_point_soa(m, rots, poss, self._handle_geoms[0])
+        hb = geom_point_soa(m, rots, poss, self._handle_geoms[1])
+        dx = palm[0] - 0.5 * (ha[0] + hb[0])
+        dy = palm[1] - 0.5 * (ha[1] + hb[1])
+        dz = palm[2] - 0.5 * (ha[2] + hb[2])
+        dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+        door = q[DOOR]
+        vel2 = sum(qd[j] * qd[j] for j in range(6))
+        return (-0.5 * dist
+                + 2.0 * door
+                - 1e-3 * vel2
+                + 2.0 * (door > 0.2)
+                + 8.0 * (door > 1.0)
+                + 10.0 * (door > 1.35))
+
     def observe(self, state):
         palm, handle = self._sites(state.physics.qpos)
         q = state.physics.qpos

@@ -474,6 +474,12 @@ def make_step_soa(model: ArticulatedModel, dt: float, substeps: int = 1):
     return jax.vmap(make_single_step_soa(model, dt, substeps))
 
 
+def geom_point_soa(m: SoaModel, rots, poss, s: int) -> Vec3:
+    """World position of sphere geom ``s`` given fk_soa outputs."""
+    sb = m.sphere_body[s]
+    return v3_add(poss[sb], m3_vec(rots[sb], m.sphere_pos[s]))
+
+
 def make_sites_soa(model: ArticulatedModel):
     """Unbatched geom-position extractor: qpos (nq,) -> (ns, 3) sphere-geom
     world positions (stacked at the end, scalar inside)."""

@@ -1,0 +1,179 @@
+"""Whole-rollout Pallas megakernel — the latency-bound fast path.
+
+The north-star PPI iteration is bound not by FLOPs or HBM bandwidth but by
+the *sequential kernel count*: a ``lax.scan`` over H=160 steps x 2 substeps
+emits ~320 small fused VPU kernels whose fixed per-kernel overhead dominates
+(see RESULTS.md roofline: <0.1% MXU, <3% HBM at 1024 samples). This module
+collapses the entire horizon into ONE Pallas kernel: the batch lives in VMEM
+for the whole rollout, a ``fori_loop`` walks the horizon, and each physics
+substep is the *same* scalar-SoA program as ``engine_soa`` — every "scalar"
+is simply a ``(block,)`` f32 vector resident in VMEM, so each arithmetic op
+is one VPU op over the whole sample block.
+
+The reference has no counterpart (its rollouts are per-worker MuJoCo C loops
+behind a process pool; reference: mpc/wrappers.py:88-152) — this is the
+TPU-native replacement for that entire layer.
+
+Env contract (duck-typed, see ``ppi_tpu.envs.door`` for the flagship):
+  * ``env._model``     — the ``ArticulatedModel``
+  * ``env.dt``, ``env.substeps``, ``env.action_dim``
+  * ``env.scalar_torque(m, q, qd, act)`` — tuples of per-lane scalars -> tau
+  * ``env.scalar_reward(m, q, qd)``      — tuples -> per-lane scalar reward
+
+Semantics match ``envs.base.rollout(guard=True)`` exactly: a lane whose
+state goes non-finite has its reward latched to NaN from that step on, which
+the solver's cost mask then zero-weights (divergence poisons only its own
+lane; reference: mpc/wrappers.py:110-116).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ppi_tpu.envs.physics.engine_soa import SoaModel, forward_dynamics_soa
+
+_LANE = 128  # f32 lane width; batch blocks are padded to a multiple of this
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def make_pallas_rollout(model, dt: float, substeps: int, horizon: int,
+                        action_dim: int, torque_fn, reward_fn,
+                        block: int = 1024, interpret: bool = False):
+    """Build ``(q0 (N,nq), qd0 (N,nq), actions (N,H,da)) ->
+    (rewards (N,H), qpos_f (N,nq), qvel_f (N,nq))`` with the whole rollout
+    fused into one Pallas kernel (grid over batch blocks).
+
+    ``torque_fn(m, q, qd, act) -> tau`` and ``reward_fn(m, q, qd) -> r``
+    are scalar-SoA callbacks traced *inside* the kernel; they must be pure
+    jnp elementwise programs on tuples (no stacking/gathers).
+    """
+    m = SoaModel(model)
+    nq = m.nq
+    h = dt / substeps
+
+    def kernel(q0_ref, qd0_ref, act_ref, rew_ref, qf_ref, qdf_ref):
+        q = tuple(q0_ref[j, :] for j in range(nq))
+        qd = tuple(qd0_ref[j, :] for j in range(nq))
+        bad = jnp.zeros((block,), jnp.float32)
+
+        def body(t, carry):
+            q, qd, bad = carry
+            a_slab = act_ref[pl.ds(t, 1)]  # (1, da, block)
+            act = tuple(a_slab[0, a, :] for a in range(action_dim))
+            tau = torque_fn(m, q, qd, act)
+            for _ in range(substeps):
+                qdd, mdiag = forward_dynamics_soa(m, q, qd, tau)
+                qd2 = [qd[j] + h * qdd[j] for j in range(nq)]
+                for j in range(nq):
+                    # velocity-level Coulomb friction (exact stiction),
+                    # identical to engine_soa.make_single_step_soa
+                    if m.friction_loss[j] > 0.0:
+                        cap = m.friction_loss[j] * h / mdiag[j]
+                        qd2[j] = qd2[j] - jnp.clip(qd2[j], -cap, cap)
+                qd = tuple(qd2)
+                q = tuple(q[j] + h * qd[j] for j in range(nq))
+            fin = functools.reduce(
+                jnp.logical_and,
+                [jnp.isfinite(x) for x in q + qd])
+            bad = jnp.maximum(bad, 1.0 - fin.astype(jnp.float32))
+            r = reward_fn(m, q, qd)
+            r = jnp.where(bad > 0.0, jnp.nan, r)
+            rew_ref[pl.ds(t, 1), :] = r[None, :]
+            return (q, qd, bad)
+
+        q, qd, _ = jax.lax.fori_loop(0, horizon, body, (q, qd, bad))
+        for j in range(nq):
+            qf_ref[j, :] = q[j]
+            qdf_ref[j, :] = qd[j]
+
+    def run(q0, qd0, actions):
+        n = actions.shape[0]
+        n_pad = _round_up(max(n, block), block)
+        if n_pad != n:
+            # padded lanes roll the same initial state under zero actions;
+            # their outputs are sliced away below
+            q0 = jnp.concatenate(
+                [q0, jnp.broadcast_to(q0[-1:], (n_pad - n, nq))])
+            qd0 = jnp.concatenate(
+                [qd0, jnp.broadcast_to(qd0[-1:], (n_pad - n, nq))])
+            actions = jnp.concatenate(
+                [actions,
+                 jnp.zeros((n_pad - n,) + actions.shape[1:],
+                           actions.dtype)])
+        q0_t = q0.astype(jnp.float32).T                      # (nq, N)
+        qd0_t = qd0.astype(jnp.float32).T
+        act_t = jnp.transpose(actions.astype(jnp.float32),
+                              (1, 2, 0))                     # (H, da, N)
+        grid = (n_pad // block,)
+        rew, qf, qdf = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((nq, block), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nq, block), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((horizon, action_dim, block),
+                             lambda i: (0, 0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((horizon, block), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nq, block), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nq, block), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((horizon, n_pad), jnp.float32),
+                jax.ShapeDtypeStruct((nq, n_pad), jnp.float32),
+                jax.ShapeDtypeStruct((nq, n_pad), jnp.float32),
+            ],
+            interpret=interpret,
+        )(q0_t, qd0_t, act_t)
+        return rew.T[:n], qf.T[:n], qdf.T[:n]
+
+    return run
+
+
+def supports_pallas(env) -> bool:
+    """True when ``env`` implements the scalar-SoA kernel contract."""
+    return (hasattr(env, "scalar_torque") and hasattr(env, "scalar_reward")
+            and hasattr(env, "_model"))
+
+
+def pallas_mpc_objective(env, state0, horizon: int, horizon_mask=None,
+                         block: int = 1024, interpret: bool = False):
+    """Drop-in for ``envs.base.mpc_objective`` running the whole rollout in
+    one Pallas kernel. ``state0`` must carry ``.physics`` (qpos/qvel); the
+    per-step clock/latch fields some envs keep are not observable through
+    costs for the supported envs (asserted by the cross-validation tests).
+    """
+    if not supports_pallas(env):
+        raise ValueError(f"{env!r} does not implement the scalar-SoA "
+                         "kernel contract (scalar_torque/scalar_reward)")
+    run = make_pallas_rollout(env._model, env.dt, env.substeps, horizon,
+                              env.action_dim, env.scalar_torque,
+                              env.scalar_reward, block=block,
+                              interpret=interpret)
+    q0 = state0.physics.qpos
+    qd0 = state0.physics.qvel
+
+    def f(key, action_sequences):
+        del key
+        n = action_sequences.shape[0]
+        rewards, _, _ = run(jnp.broadcast_to(q0, (n,) + q0.shape),
+                            jnp.broadcast_to(qd0, (n,) + qd0.shape),
+                            action_sequences)
+        if horizon_mask is not None:
+            rewards = rewards * horizon_mask[None, :]
+        return -jnp.sum(rewards, axis=1)
+
+    return f

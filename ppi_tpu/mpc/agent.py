@@ -31,6 +31,10 @@ class MpcCarry(struct.PyTreeNode):
     key: jax.Array
 
 
+def _round_up_128(n: int) -> int:
+    return -(-n // 128) * 128
+
+
 @dataclasses.dataclass(frozen=True)
 class Mpc:
     """MPC agent configuration (static)."""
@@ -45,6 +49,8 @@ class Mpc:
     anneal: float = 1.0
     use_map: bool = False     # return the MAP/elite first action (CEM/iCEM)
     mesh: Any = None          # jax.sharding.Mesh -> shard the sample axis
+    use_pallas: bool = False  # whole-rollout Pallas megakernel (TPU; the env
+                              # must implement the scalar-SoA contract)
 
     @property
     def dt(self) -> float:
@@ -79,6 +85,13 @@ class Mpc:
             from ppi_tpu.parallel import sharded_mpc_objective
             f = sharded_mpc_objective(self.env, env_state, self.mesh,
                                       self.horizon_mask(time_index))
+        elif self.use_pallas:
+            from ppi_tpu.envs.physics.pallas_rollout import (
+                pallas_mpc_objective)
+            f = pallas_mpc_objective(self.env, env_state, self.horizon,
+                                     self.horizon_mask(time_index),
+                                     block=min(1024, _round_up_128(
+                                         self.n_samples)))
         else:
             f = mpc_objective(self.env, env_state,
                               self.horizon_mask(time_index))

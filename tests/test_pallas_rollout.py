@@ -1,0 +1,148 @@
+"""Whole-rollout Pallas megakernel vs the lax.scan oracle.
+
+On the CPU test platform the kernel runs in Pallas interpret mode — the
+same kernel program, unverified Mosaic lowering aside, which is exactly the
+cross-validation the TPU path needs (the compiled path is additionally
+timed by tests/test_perf.py on device).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ppi_tpu.envs.base import batch_rollout, mpc_objective
+from ppi_tpu.envs.door import Door
+from ppi_tpu.envs.physics.pallas_rollout import (
+    make_pallas_rollout, pallas_mpc_objective, supports_pallas)
+
+INTERPRET = jax.default_backend() == "cpu"
+
+
+@pytest.fixture(scope="module")
+def door():
+    return Door()
+
+
+def _batched_state0(env, n):
+    s0 = env.reset(jax.random.key(0))
+    q0 = jnp.broadcast_to(s0.physics.qpos, (n,) + s0.physics.qpos.shape)
+    qd0 = jnp.broadcast_to(s0.physics.qvel, (n,) + s0.physics.qvel.shape)
+    return s0, q0, qd0
+
+
+class TestPallasRollout:
+    def test_supports_contract(self, door):
+        assert supports_pallas(door)
+
+    def test_rewards_match_scan_path(self, door):
+        h, n = 4, 12
+        acts = 0.4 * jax.random.normal(jax.random.key(1),
+                                       (n, h, door.action_dim))
+        s0, q0, qd0 = _batched_state0(door, n)
+        _, rew_ref = batch_rollout(door, s0, acts)
+        run = make_pallas_rollout(door._model, door.dt, door.substeps, h,
+                                  door.action_dim, door.scalar_torque,
+                                  door.scalar_reward, block=128,
+                                  interpret=INTERPRET)
+        rew, qf, qdf = run(q0, qd0, acts)
+        np.testing.assert_allclose(np.asarray(rew), np.asarray(rew_ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_final_state_matches_scan_path(self, door):
+        h, n = 3, 8
+        acts = 0.3 * jax.random.normal(jax.random.key(2),
+                                       (n, h, door.action_dim))
+        s0, q0, qd0 = _batched_state0(door, n)
+        finals, _ = batch_rollout(door, s0, acts)
+        run = make_pallas_rollout(door._model, door.dt, door.substeps, h,
+                                  door.action_dim, door.scalar_torque,
+                                  door.scalar_reward, block=128,
+                                  interpret=INTERPRET)
+        _, qf, qdf = run(q0, qd0, acts)
+        np.testing.assert_allclose(np.asarray(qf),
+                                   np.asarray(finals.physics.qpos),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(qdf),
+                                   np.asarray(finals.physics.qvel),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_objective_matches_and_masks(self, door):
+        h, n = 4, 8
+        acts = 0.3 * jax.random.normal(jax.random.key(3),
+                                       (n, h, door.action_dim))
+        s0, _, _ = _batched_state0(door, n)
+        mask = jnp.array([1.0] * 3 + [0.0] * 1)
+        c_ref = mpc_objective(door, s0, horizon_mask=mask)(None, acts)
+        c_pal = pallas_mpc_objective(door, s0, h, horizon_mask=mask,
+                                     block=128, interpret=INTERPRET)(
+                                         None, acts)
+        np.testing.assert_allclose(np.asarray(c_pal), np.asarray(c_ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_divergence_poisons_own_lane_only(self, door):
+        """A lane whose state explodes must go NaN without touching the
+        others (reference NaN-row protocol: mpc/wrappers.py:110-116)."""
+        h, n = 4, 8
+        acts = 0.1 * jnp.ones((n, h, door.action_dim))
+        s0, q0, qd0 = _batched_state0(door, n)
+        q0 = q0.at[3].set(jnp.nan)  # pre-poisoned lane
+        run = make_pallas_rollout(door._model, door.dt, door.substeps, h,
+                                  door.action_dim, door.scalar_torque,
+                                  door.scalar_reward, block=128,
+                                  interpret=INTERPRET)
+        rew, _, _ = run(q0, qd0, acts)
+        assert bool(jnp.all(jnp.isnan(rew[3])))
+        others = jnp.delete(rew, 3, axis=0)
+        assert bool(jnp.all(jnp.isfinite(others)))
+
+    def test_padding_lanes_are_sliced_away(self, door):
+        """n not a multiple of the block: outputs keep exactly n rows and
+        match the unpadded oracle."""
+        h, n = 3, 37
+        acts = 0.2 * jax.random.normal(jax.random.key(4),
+                                       (n, h, door.action_dim))
+        s0, q0, qd0 = _batched_state0(door, n)
+        _, rew_ref = batch_rollout(door, s0, acts)
+        run = make_pallas_rollout(door._model, door.dt, door.substeps, h,
+                                  door.action_dim, door.scalar_torque,
+                                  door.scalar_reward, block=128,
+                                  interpret=INTERPRET)
+        rew, qf, _ = run(q0, qd0, acts)
+        assert rew.shape == (n, h) and qf.shape == (n, door._model.nq)
+        np.testing.assert_allclose(np.asarray(rew), np.asarray(rew_ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_mpc_agent_accepts_use_pallas(self, door):
+        """One jitted MPC control step through the pallas objective."""
+        if not INTERPRET:
+            pytest.skip("compiled-kernel agent path timed in test_perf")
+        # interpret mode is slow: tiny shapes
+        import dataclasses
+
+        from ppi_tpu.algorithms import make_solver
+        from ppi_tpu.mpc.agent import Mpc
+        from ppi_tpu.policies import design_moments, make_policy
+
+        env = Door()
+        horizon = 3
+        mean, ci, co = design_moments(env.action_low, env.action_high,
+                                      ratio=1000.0)
+        family, policy = make_policy(
+            "WhiteNoiseIid", env.dt * jnp.arange(horizon), env.action_dim,
+            mean, ci, co, lower=env.action_low, upper=env.action_high)
+        agent = Mpc(env=env, solver=make_solver("Mppi", alpha=5.0),
+                    family=family, timesteps=6, horizon=horizon,
+                    n_samples=4, use_pallas=True)
+        # interpret-mode pallas inside jit: run optimize un-jitted
+        carry = agent.init(policy, jax.random.key(0))
+        s0 = env.reset(jax.random.key(0))
+        import ppi_tpu.envs.physics.pallas_rollout as pr
+        orig = pr.make_pallas_rollout
+        pr.make_pallas_rollout = (
+            lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+        try:
+            carry2, trace, costs = agent.optimize(carry, s0, 0, n_iters=1)
+        finally:
+            pr.make_pallas_rollout = orig
+        assert bool(jnp.all(jnp.isfinite(costs)))
