@@ -44,6 +44,7 @@ def _round_up(x: int, m: int) -> int:
 
 def make_pallas_rollout(model, dt: float, substeps: int, horizon: int,
                         action_dim: int, torque_fn, reward_fn,
+                        project_fn=None,
                         block: int = 1024, interpret: bool = False):
     """Build ``(q0 (N,nq), qd0 (N,nq), actions (N,H,da)) ->
     (rewards (N,H), qpos_f (N,nq), qvel_f (N,nq))`` with the whole rollout
@@ -51,7 +52,10 @@ def make_pallas_rollout(model, dt: float, substeps: int, horizon: int,
 
     ``torque_fn(m, q, qd, act) -> tau`` and ``reward_fn(m, q, qd) -> r``
     are scalar-SoA callbacks traced *inside* the kernel; they must be pure
-    jnp elementwise programs on tuples (no stacking/gathers).
+    jnp elementwise programs on tuples (no stacking/gathers). The optional
+    ``project_fn(m, q_prev, q, qd) -> (q, qd)`` is a per-control-step
+    kinematic projection (e.g. the door-hand bolt clamp) applied after the
+    substep loop, with ``q_prev`` the pre-step coordinates.
     """
     m = SoaModel(model)
     nq = m.nq
@@ -64,6 +68,7 @@ def make_pallas_rollout(model, dt: float, substeps: int, horizon: int,
 
         def body(t, carry):
             q, qd, bad = carry
+            q_prev = q
             a_slab = act_ref[pl.ds(t, 1)]  # (1, da, block)
             act = tuple(a_slab[0, a, :] for a in range(action_dim))
             tau = torque_fn(m, q, qd, act)
@@ -78,6 +83,8 @@ def make_pallas_rollout(model, dt: float, substeps: int, horizon: int,
                         qd2[j] = qd2[j] - jnp.clip(qd2[j], -cap, cap)
                 qd = tuple(qd2)
                 q = tuple(q[j] + h * qd[j] for j in range(nq))
+            if project_fn is not None:
+                q, qd = project_fn(m, q_prev, q, qd)
             fin = functools.reduce(
                 jnp.logical_and,
                 [jnp.isfinite(x) for x in q + qd])
@@ -161,8 +168,9 @@ def pallas_mpc_objective(env, state0, horizon: int, horizon_mask=None,
                          "kernel contract (scalar_torque/scalar_reward)")
     run = make_pallas_rollout(env._model, env.dt, env.substeps, horizon,
                               env.action_dim, env.scalar_torque,
-                              env.scalar_reward, block=block,
-                              interpret=interpret)
+                              env.scalar_reward,
+                              project_fn=getattr(env, "scalar_project", None),
+                              block=block, interpret=interpret)
     q0 = state0.physics.qpos
     qd0 = state0.physics.qvel
 

@@ -2,6 +2,7 @@
 
 from ppi_tpu.parallel.mesh import (
     make_mesh,
+    make_multislice_mesh,
     sample_sharding,
     shard_batch,
     sharded_mpc_objective,

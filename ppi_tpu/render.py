@@ -111,6 +111,47 @@ def render_door(env, qpos_history, path, stride=2):
                     ylim=(-0.9, 0.7), stride=stride)
 
 
+def render_door_hand(env, qpos_history, path, stride=2):
+    """Top-down schematic of the hand-embodiment door task: arm links,
+    three digits, door panel, handle bar (``envs.door_hand.DoorHand``)."""
+    qpos_history = np.asarray(qpos_history)
+    from ppi_tpu.envs.door_hand import DOOR, LATCH
+    from ppi_tpu.envs.physics.engine_soa import make_body_frames_soa
+    frames_fn = make_body_frames_soa(env._model)
+    sites = env._sites_soa
+    # geom order fixed by _build_model: palm, (prox, tip) x 3 digits,
+    # handle a/b, panel a/b
+    DIGITS = ((1, 2), (3, 4), (5, 6))
+    H_A, H_B, D_B = 7, 8, 10
+
+    def draw(ax, t):
+        q = qpos_history[t]
+        rot, pos = frames_fn(q)
+        pos = np.asarray(pos)
+        pts = np.asarray(sites(q))
+        palm = pts[env._palm_geom]
+        # arm chain (top-down, x-y plane)
+        xs = list(pos[:4, 0]) + [float(palm[0])]
+        ys = list(pos[:4, 1]) + [float(palm[1])]
+        ax.plot(xs, ys, "o-", lw=3, color="C0")
+        # digits: palm -> proximal -> tip
+        for prox, tip in DIGITS:
+            ax.plot([palm[0], pts[prox, 0], pts[tip, 0]],
+                    [palm[1], pts[prox, 1], pts[tip, 1]],
+                    "o-", lw=1.5, ms=3, color="C2")
+        # door panel: hinge to far panel sphere
+        hinge = pos[DOOR, :2]
+        ax.plot([hinge[0], pts[D_B, 0]], [hinge[1], pts[D_B, 1]],
+                lw=5, color="C1")
+        # handle bar
+        ax.plot([pts[H_A, 0], pts[H_B, 0]], [pts[H_A, 1], pts[H_B, 1]],
+                lw=3, color="C3")
+        ax.set_title(f"door={q[DOOR]:.2f} latch={q[LATCH]:.2f}")
+
+    return _save(path, draw, qpos_history.shape[0], xlim=(-0.3, 1.3),
+                 ylim=(-0.9, 0.7), stride=stride)
+
+
 def render_planar(env, qpos_history, path, stride=2, xlim=None):
     """Side view (x-z) of a planar locomotor (cheetah/hopper)."""
     qpos_history = np.asarray(qpos_history)

@@ -26,6 +26,7 @@ from ppi_tpu.algorithms import ALGORITHMS, make_solver
 from ppi_tpu.envs.classic import Cartpole, Pendulum
 from ppi_tpu.envs.cheetah import Cheetah
 from ppi_tpu.envs.door import Door
+from ppi_tpu.envs.door_hand import DoorHand
 from ppi_tpu.envs.finger import FingerSpin
 from ppi_tpu.envs.hammer import Hammer
 from ppi_tpu.envs.hopper import Hopper
@@ -45,6 +46,7 @@ ENVS = {
     "cartpole": Cartpole,
     "reacher": Reacher,
     "door-v0": Door,
+    "door-v0-hand": DoorHand,
     "cheetah": Cheetah,
     "finger~spin": FingerSpin,
     "hammer-v0": Hammer,
@@ -239,6 +241,8 @@ def main(args):
         try:
             if args.env == "door-v0":
                 out = render_mod.render_door(env, qh, out)
+            elif args.env == "door-v0-hand":
+                out = render_mod.render_door_hand(env, qh, out)
             elif args.env == "relocate-v0":
                 out = render_mod.render_relocate(env, qh, out)
             elif args.env == "pen-v0":

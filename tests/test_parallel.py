@@ -128,3 +128,60 @@ class TestMesh:
         devices (VERDICT r1 weak #2)."""
         with pytest.raises(ValueError, match="only"):
             make_mesh(len(jax.devices()) + 1)
+
+
+class TestMultislice:
+    """Multi-slice (DCN-joined pods) layout: a 2-D (slices, samples) mesh,
+    sample batch sharded hierarchically over both axes. On the virtual-CPU
+    platform the slice grouping is synthetic, but the sharding/collective
+    structure compiled is identical to a real 2-slice deployment."""
+
+    def test_mesh_shape_and_underprovision_guard(self):
+        from ppi_tpu.parallel import make_multislice_mesh
+        mesh = make_multislice_mesh(2, 4)
+        assert mesh.shape["slices"] == 2 and mesh.shape["samples"] == 4
+        with pytest.raises(ValueError, match="needs"):
+            make_multislice_mesh(4, 4)
+
+    def test_multislice_objective_matches_unsharded(self):
+        from ppi_tpu.parallel import make_multislice_mesh
+        env = Pendulum()
+        s0 = env.reset(jax.random.key(0))
+        acts = 0.5 * jax.random.normal(jax.random.key(1), (64, 10, 1))
+        mesh = make_multislice_mesh(2, 4)
+        axes = ("slices", "samples")
+        f_local = jax.jit(lambda a: mpc_objective(env, s0)(None, a))
+        f_shard = jax.jit(lambda a: sharded_mpc_objective(
+            env, s0, mesh, axis=axes)(None, a))
+        np.testing.assert_allclose(np.asarray(f_local(acts)),
+                                   np.asarray(f_shard(acts)), rtol=1e-5)
+
+    def test_multislice_moment_match_hierarchical_reduce(self):
+        """The weighted-moment contraction over the 2-D-sharded sample axis
+        must still compile to cross-device reductions without gathering the
+        full batch, and match the single-device oracle exactly."""
+        from ppi_tpu.ops import m_projection
+        from ppi_tpu.parallel import make_multislice_mesh
+
+        mesh = make_multislice_mesh(2, 4)
+        n, d = 4096, 8
+        sharding = sample_sharding(mesh, axis=("slices", "samples"))
+
+        @jax.jit
+        def fit(log_w, samples):
+            log_w = jax.lax.with_sharding_constraint(log_w, sharding)
+            samples = jax.lax.with_sharding_constraint(samples, sharding)
+            return m_projection(log_w, samples, use_pallas="never")
+
+        log_w = jax.random.normal(jax.random.key(1), (n,))
+        samples = jax.random.normal(jax.random.key(0), (n, d))
+        hlo = fit.lower(log_w, samples).compile().as_text()
+        assert "all-reduce" in hlo
+        for line in hlo.splitlines():
+            if "all-gather" in line:
+                assert f"f32[{n},{d}]" not in line, line
+        got = jax.tree_util.tree_map(np.asarray, fit(log_w, samples))
+        want = jax.tree_util.tree_map(
+            np.asarray, m_projection(log_w, samples, use_pallas="never"))
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(g, w, atol=1e-5)
