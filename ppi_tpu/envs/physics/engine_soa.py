@@ -409,6 +409,16 @@ def forward_dynamics_soa(m: SoaModel, q, qd, tau):
     forces = contact_forces_soa(m, pts, pt_vels) if pts else []
 
     passive = passive_torque_soa(m, q, qd)
+    # gravity + inertial bias wrench per body, hoisted out of the (j, b)
+    # double loop below: tracing them per pair bloats the emitted graph
+    # O(nq^2) before XLA's CSE ever sees it, which is a large share of the
+    # superlinear compile-time growth at high DoF
+    f_bias, n_bias = [], []
+    for b in range(m.nq):
+        f_bias.append(v3_sub(v3_scale(m.mass[b], m.gravity),
+                             v3_scale(m.mass[b], a_c[b])))
+        n_bias.append(v3_add(m3_vec(i_world[b], alpha[b]),
+                             v3_cross(omega[b], m3_vec(i_world[b], omega[b]))))
     rhs = []
     for j in range(m.nq):
         t = tau[j] + passive[j]
@@ -417,14 +427,9 @@ def forward_dynamics_soa(m: SoaModel, q, qd, tau):
         for b in range(m.nq):
             if j not in m.ancestors[b]:
                 continue
-            # gravity + inertial bias through the com Jacobian column
-            f_b = v3_sub(v3_scale(m.mass[b], m.gravity),
-                         v3_scale(m.mass[b], a_c[b]))
-            n_b = v3_add(m3_vec(i_world[b], alpha[b]),
-                         v3_cross(omega[b], m3_vec(i_world[b], omega[b])))
-            t = t + v3_dot(jv[b][j], f_b)
+            t = t + v3_dot(jv[b][j], f_bias[b])
             if jw[b][j] is not None:
-                t = t - v3_dot(jw[b][j], n_b)
+                t = t - v3_dot(jw[b][j], n_bias[b])
         for s, sb in enumerate(pt_body):
             if j not in m.ancestors[sb]:
                 continue
