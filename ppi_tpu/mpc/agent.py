@@ -49,6 +49,8 @@ class Mpc:
     anneal: float = 1.0
     use_map: bool = False     # return the MAP/elite first action (CEM/iCEM)
     mesh: Any = None          # jax.sharding.Mesh -> shard the sample axis
+    mesh_axis: Any = "samples"  # mesh axis name, or a tuple for hierarchical
+                              # multi-slice sharding (("slices", "samples"))
     use_pallas: bool = False  # whole-rollout Pallas megakernel (TPU; the env
                               # must implement the scalar-SoA contract)
 
@@ -84,7 +86,8 @@ class Mpc:
         if self.mesh is not None:
             from ppi_tpu.parallel import sharded_mpc_objective
             f = sharded_mpc_objective(self.env, env_state, self.mesh,
-                                      self.horizon_mask(time_index))
+                                      self.horizon_mask(time_index),
+                                      axis=self.mesh_axis)
         elif self.use_pallas:
             from ppi_tpu.envs.physics.pallas_rollout import (
                 pallas_mpc_objective)

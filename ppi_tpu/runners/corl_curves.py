@@ -1,0 +1,149 @@
+"""Quantitative CoRL'22-style reward/smoothness overlays across seeds.
+
+The paper's core MPC claim (reference README.md:7-19, Makefile:14-21): on
+the dexterous-hand tasks, white-noise sampling is erratic while correlated
+priors (GP kernels, random features) succeed with far smoother actions.
+This runner makes that claim *quantitative* for the rebuild: it executes
+the three canonical door-v0 prior configurations (the reference Makefile's
+Cem+WhiteNoiseIid, Lbps+SE-kernel, Essps+RFF) across N seeds in one
+process (so all seeds share the jitted episode program), then writes
+
+  * ``overlay.png``  — per-step reward curves (mean across seeds, min/max
+    band) with per-config smoothness/return/success in the legend,
+  * ``summary.json`` + per-run npz artifacts (via run_mpc's own saver),
+  * a stdout table (return / smoothness / success rate per config).
+
+Usage:
+    python -m ppi_tpu.runners.corl_curves --seeds 5 --dir results/corl
+    python -m ppi_tpu.runners.corl_curves --seeds 2 --timesteps 60 \
+        --env pendulum --dir /tmp/corl_smoke   # smoke-scale
+"""
+
+import argparse
+import json
+from pathlib import Path
+
+import numpy as np
+
+from ppi_tpu.runners.run_mpc import build_parser as mpc_parser, main as mpc_main
+
+# the three canonical prior families of the reference Makefile door configs
+# (reference: Makefile:14-21); labels follow the paper's terminology
+CONFIGS = [
+    ("iid", "Cem", "WhiteNoiseIid",
+     ["--n-elites", "10"]),
+    ("gp-se", "Lbps", "SquaredExponentialKernel",
+     ["--delta", "0.9", "--n-iters", "2", "--anneal", "0.5",
+      "--lengthscale", "0.08"]),
+    ("rff", "Essps", "RffFeatures",
+     ["--n-elites", "10", "--n-features", "10", "--lengthscale", "0.08",
+      "--anneal", "0.5"]),
+]
+
+
+def run_grid(env: str, seeds: int, timesteps: int, horizon: int,
+             n_samples: int, outdir: Path):
+    results = {}
+    for label, alg, policy, extra in CONFIGS:
+        runs = []
+        for seed in range(seeds):
+            argv = [alg, env, policy, "--timesteps", str(timesteps),
+                    "--horizon", str(horizon), "--seed", str(seed),
+                    "--no-plots", "--dir", str(outdir), "--force",
+                    "--name", label, *extra,
+                    "MonteCarlo", "--n-samples", str(n_samples)]
+            args = mpc_parser().parse_args(argv)
+            ret, track = mpc_main(args)
+            name = (f"{alg}_{env}_{policy}_MonteCarlo_{n_samples}_"
+                    f"{seed}_{label}")
+            data = np.load(outdir / name / "data.npz")
+            runs.append({
+                "seed": seed,
+                "return": float(ret),
+                "rewards": np.asarray(track["reward"]).astype(np.float64),
+                "sm": float(data["sm"]),
+                "sm_max": float(data["sm_max"]),
+                "power": float(data["power"]),
+            })
+            print(f"[{label}] seed {seed}: return {ret:.1f} "
+                  f"sm {runs[-1]['sm']:.2f}")
+        results[label] = runs
+    return results
+
+
+def summarize(results):
+    rows = {}
+    for label, runs in results.items():
+        rets = np.array([r["return"] for r in runs])
+        sms = np.array([r["sm"] for r in runs])
+        rows[label] = {
+            "return_mean": float(rets.mean()),
+            "return_std": float(rets.std()),
+            "smoothness_mean": float(sms.mean()),
+            "smoothness_std": float(sms.std()),
+            "n_seeds": len(runs),
+        }
+    return rows
+
+
+def plot_overlay(results, rows, path: Path):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, (ax, ax2) = plt.subplots(
+        1, 2, figsize=(11, 4), gridspec_kw={"width_ratios": [2.2, 1.0]})
+    for i, (label, runs) in enumerate(results.items()):
+        curves = np.stack([r["rewards"] for r in runs])  # (seeds, T)
+        t = np.arange(curves.shape[1])
+        mean = curves.mean(0)
+        ax.plot(t, mean, label=f"{label} "
+                f"(ret {rows[label]['return_mean']:.0f}"
+                f"±{rows[label]['return_std']:.0f})", color=f"C{i}")
+        ax.fill_between(t, curves.min(0), curves.max(0), alpha=0.2,
+                        color=f"C{i}")
+    ax.set_xlabel("control step")
+    ax.set_ylabel("per-step reward")
+    ax.legend(fontsize=8)
+    ax.set_title("reward curves (mean across seeds, min/max band)")
+
+    labels = list(results)
+    sm_m = [rows[la]["smoothness_mean"] for la in labels]
+    sm_s = [rows[la]["smoothness_std"] for la in labels]
+    ax2.bar(labels, sm_m, yerr=sm_s,
+            color=[f"C{i}" for i in range(len(labels))])
+    ax2.set_ylabel("FFT smoothness Sm (lower = smoother)")
+    ax2.set_title("action smoothness")
+    fig.tight_layout()
+    fig.savefig(path, dpi=130)
+    plt.close(fig)
+
+
+def main(args):
+    outdir = Path(args.dir)
+    outdir.mkdir(parents=True, exist_ok=True)
+    results = run_grid(args.env, args.seeds, args.timesteps, args.horizon,
+                       args.n_samples, outdir)
+    rows = summarize(results)
+    (outdir / "summary.json").write_text(json.dumps(rows, indent=2))
+    plot_overlay(results, rows, outdir / "overlay.png")
+    print(f"\n{'config':8s} {'return':>16s} {'smoothness':>14s}")
+    for label, row in rows.items():
+        print(f"{label:8s} {row['return_mean']:9.1f} ± "
+              f"{row['return_std']:5.1f} {row['smoothness_mean']:8.2f} ± "
+              f"{row['smoothness_std']:4.2f}")
+    print(f"\nwrote {outdir / 'overlay.png'} and summary.json")
+    return rows
+
+
+if __name__ == "__main__":
+    from ppi_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--env", default="door-v0")
+    p.add_argument("--seeds", type=int, default=5)
+    p.add_argument("--timesteps", type=int, default=250)
+    p.add_argument("--horizon", type=int, default=30)
+    p.add_argument("--n-samples", type=int, default=64)
+    p.add_argument("--dir", default="results/corl")
+    main(p.parse_args())
