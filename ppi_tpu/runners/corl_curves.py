@@ -76,11 +76,15 @@ def summarize(results):
     for label, runs in results.items():
         rets = np.array([r["return"] for r in runs])
         sms = np.array([r["sm"] for r in runs])
+        # task solved iff the staged door-open bonuses are active at the
+        # episode end (the >1.35 rad stage alone contributes +10/step)
+        succ = np.array([r["rewards"][-10:].mean() > 10.0 for r in runs])
         rows[label] = {
             "return_mean": float(rets.mean()),
             "return_std": float(rets.std()),
             "smoothness_mean": float(sms.mean()),
             "smoothness_std": float(sms.std()),
+            "success_rate": float(succ.mean()),
             "n_seeds": len(runs),
         }
     return rows
@@ -127,11 +131,12 @@ def main(args):
     rows = summarize(results)
     (outdir / "summary.json").write_text(json.dumps(rows, indent=2))
     plot_overlay(results, rows, outdir / "overlay.png")
-    print(f"\n{'config':8s} {'return':>16s} {'smoothness':>14s}")
+    print(f"\n{'config':8s} {'return':>16s} {'smoothness':>14s}"
+          f" {'success':>8s}")
     for label, row in rows.items():
         print(f"{label:8s} {row['return_mean']:9.1f} ± "
               f"{row['return_std']:5.1f} {row['smoothness_mean']:8.2f} ± "
-              f"{row['smoothness_std']:4.2f}")
+              f"{row['smoothness_std']:4.2f} {row['success_rate']:8.2f}")
     print(f"\nwrote {outdir / 'overlay.png'} and summary.json")
     return rows
 

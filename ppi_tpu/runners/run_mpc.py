@@ -179,6 +179,16 @@ def main(args):
                          epsilon=args.epsilon, delta=args.delta,
                          n_elites=args.n_elites,
                          dimension=family.dim_features)
+    if args.n_samples < family.dim_features:
+        # with fewer samples than weight dimensions the fitted input
+        # covariance is rank-deficient, the PD guard reverts every update
+        # (mean included — reference parity: ppi/policies.py:499-516), and
+        # the episode degenerates to the prior mean. Surface it loudly.
+        logging.warning(
+            "n_samples=%d < dim_features=%d: the moment-matched covariance "
+            "cannot be PD, so every posterior update will be reverted. "
+            "Increase --n-samples or reduce --n-features/--horizon.",
+            args.n_samples, family.dim_features)
 
     agent = Mpc(env=env, solver=solver, family=family,
                 timesteps=args.timesteps, horizon=args.horizon,

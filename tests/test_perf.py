@@ -67,3 +67,33 @@ class TestPerfBudgets:
         step, policy = _north_star_step(16384)
         ms = _time_iterations(step, policy, iters=3)
         assert ms < BUDGET_MS_16K, f"{ms:.2f} ms > {BUDGET_MS_16K} ms"
+
+
+class TestDoorHandOnDevice:
+    def test_canonical_mpc_opens_door_through_hand(self):
+        """Device-scale behavior check: the canonical Lbps+SE config must
+        discover press-unlock-open through the 12-DoF hand embodiment
+        (measured r2: latch -0.91, door 1.90 rad, return ~3800; see
+        RESULTS.md). Device-only — the 12-DoF SoA graph compiles in
+        minutes on CPU."""
+        from ppi_tpu.algorithms import make_solver
+        from ppi_tpu.envs.door_hand import DOOR, DoorHand
+        from ppi_tpu.mpc import Mpc
+        from ppi_tpu.policies import design_moments, make_policy
+
+        env = DoorHand(engine="soa")
+        horizon = 30
+        mean, ci, co = design_moments(env.action_low, env.action_high,
+                                      1000.0)
+        family, policy = make_policy(
+            "SquaredExponentialKernel", env.dt * jnp.arange(horizon),
+            env.action_dim, mean, ci, co, lengthscale=4 * env.dt,
+            lower=env.action_low, upper=env.action_high)
+        agent = Mpc(env=env, solver=make_solver("Lbps", delta=0.9),
+                    family=family, timesteps=250, horizon=horizon,
+                    n_samples=64, n_iters=2, anneal=0.5)
+        carry = agent.init(policy, jax.random.key(0))
+        es = env.reset(jax.random.key(0))
+        carry, _ = agent.warm_start(carry, es, 50)
+        carry, es, track = agent.run_episode_scan(carry, es, collect=False)
+        assert bool(env.success(es)), float(es.physics.qpos[DOOR])
