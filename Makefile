@@ -3,7 +3,8 @@
 
 PY ?= python
 
-.PHONY: test bench opt policy-search mpc-cem mpc-lbps mpc-essps profile native
+.PHONY: test bench opt policy-search mpc-cem mpc-lbps mpc-essps \
+	mpc-hand corl profile native
 
 test:
 	$(PY) -m pytest tests/ -x -q
@@ -38,6 +39,16 @@ mpc-essps:
 	$(PY) -m ppi_tpu.runners.run_mpc Essps hammer-v0 RffFeatures \
 	    --n-elites 10 --lengthscale 0.15 --dir results/mpc \
 	    MonteCarlo --n-samples 128
+
+# enriched door embodiment (12-DoF arm + hand), canonical smooth config
+mpc-hand:
+	$(PY) -m ppi_tpu.runners.run_mpc Lbps door-v0-hand \
+	    SquaredExponentialKernel --delta 0.9 --n-iters 2 --anneal 0.5 \
+	    --render --dir results/mpc MonteCarlo --n-samples 64
+
+# quantitative CoRL'22-style overlays (3 priors x 5 seeds on door-v0)
+corl:
+	$(PY) -m ppi_tpu.runners.corl_curves --seeds 5 --dir results/corl
 
 # reference profile_mpc.py
 profile:

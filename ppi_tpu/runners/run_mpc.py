@@ -84,6 +84,10 @@ def build_parser():
     parser.add_argument("--anneal", type=float, default=1.0)
     parser.add_argument("--host-loop", action="store_true",
                         help="per-step host loop instead of one episode scan")
+    parser.add_argument("--use-pallas", action="store_true",
+                        help="roll out through the whole-rollout Pallas "
+                             "megakernel (TPU; env must implement the "
+                             "scalar-SoA contract)")
     parser.add_argument("--model-selection", type=str, default=None,
                         help="npz from ppi_tpu.model_selection: build the "
                              "policy from fitted (mean, covariance_out, "
@@ -190,10 +194,16 @@ def main(args):
             "Increase --n-samples or reduce --n-features/--horizon.",
             args.n_samples, family.dim_features)
 
+    if args.use_pallas:
+        from ppi_tpu.envs.physics.pallas_rollout import supports_pallas
+        if not supports_pallas(env):
+            raise SystemExit(f"--use-pallas: {args.env} does not implement "
+                             "the scalar-SoA kernel contract")
     agent = Mpc(env=env, solver=solver, family=family,
                 timesteps=args.timesteps, horizon=args.horizon,
                 n_samples=args.n_samples, n_iters=args.n_iters,
-                anneal=args.anneal, use_map=args.algorithm == "iCem")
+                anneal=args.anneal, use_map=args.algorithm == "iCem",
+                use_pallas=args.use_pallas)
     carry = agent.init(policy, jax.random.key(args.seed))
     env_state = env.reset(jax.random.key(args.seed))
 
