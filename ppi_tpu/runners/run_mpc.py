@@ -29,6 +29,7 @@ from ppi_tpu.envs.door import Door
 from ppi_tpu.envs.door_hand import DoorHand
 from ppi_tpu.envs.finger import FingerSpin
 from ppi_tpu.envs.hammer import Hammer
+from ppi_tpu.envs.hammer_hand import HammerHand
 from ppi_tpu.envs.hopper import Hopper
 from ppi_tpu.envs.pen import Pen
 from ppi_tpu.envs.push import FetchPush
@@ -50,6 +51,7 @@ ENVS = {
     "cheetah": Cheetah,
     "finger~spin": FingerSpin,
     "hammer-v0": Hammer,
+    "hammer-v0-hand": HammerHand,
     "hopper": Hopper,
     "pen-v0": Pen,
     "relocate-v0": Relocate,
