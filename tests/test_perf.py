@@ -97,3 +97,30 @@ class TestDoorHandOnDevice:
         carry, _ = agent.warm_start(carry, es, 50)
         carry, es, track = agent.run_episode_scan(carry, es, collect=False)
         assert bool(env.success(es)), float(es.physics.qpos[DOOR])
+
+    def test_canonical_mpc_nails_through_grasped_hammer(self):
+        """MPC discovers grasped tool use: pick the free hammer off the
+        bench and seat the dry-friction nail (measured r2: nail depth
+        0.072, return ~3740; see RESULTS.md). Device-only — 10-DoF SoA
+        compile is minutes-scale on CPU."""
+        from ppi_tpu.algorithms import make_solver
+        from ppi_tpu.envs.hammer_hand import NAIL, HammerHand
+        from ppi_tpu.mpc import Mpc
+        from ppi_tpu.policies import design_moments, make_policy
+
+        env = HammerHand(engine="soa")
+        horizon = 30
+        mean, ci, co = design_moments(env.action_low, env.action_high,
+                                      1000.0)
+        family, policy = make_policy(
+            "SquaredExponentialKernel", env.dt * jnp.arange(horizon),
+            env.action_dim, mean, ci, co, lengthscale=4 * env.dt,
+            lower=env.action_low, upper=env.action_high)
+        agent = Mpc(env=env, solver=make_solver("Lbps", delta=0.9),
+                    family=family, timesteps=400, horizon=horizon,
+                    n_samples=128, n_iters=2, anneal=0.5)
+        carry = agent.init(policy, jax.random.key(0))
+        es = env.reset(jax.random.key(0))
+        carry, _ = agent.warm_start(carry, es, 50)
+        carry, es, track = agent.run_episode_scan(carry, es, collect=False)
+        assert bool(env.success(es)), float(es.physics.qpos[NAIL])
