@@ -321,7 +321,7 @@ def _ik(env, state, target_pt, q_init, iters=300, lr=0.03):
     return q
 
 
-def scripted_open(env, state0=None, log=None):
+def scripted_open(env, state0=None, log=None, frames=None):
     """Hand-scripted door opening: servo to a pre-press posture above the
     handle bar, press the latch past the unlock angle, withdraw (the seal
     spring pops the bolt-free door ajar), then sweep the panel open with
@@ -330,19 +330,26 @@ def scripted_open(env, state0=None, log=None):
     This is the feasibility oracle the env tests pin (press -> unlock ->
     pop -> sweep all mechanically achievable within actuation limits) and
     the trajectory the render demo draws. MPC discovers its own variant of
-    the same strategy through the staged reward.
+    the same strategy through the staged reward. Pass ``frames=[]`` to
+    collect the per-step qpos trajectory for rendering.
     """
     lo = jnp.array(_LOW)
     hi = jnp.array(_HIGH)
     state = env.reset(jax.random.key(0)) if state0 is None else state0
 
-    def run(s, tgt, n):
+    def run_scan(s, tgt, n):
         def body(st, _):
             st, _r = env.step(st, tgt)
-            return st, None
-        return jax.lax.scan(body, s, None, length=n)[0]
+            return st, st.physics.qpos
+        return jax.lax.scan(body, s, None, length=n)
 
-    run = jax.jit(run, static_argnums=2)
+    run_scan = jax.jit(run_scan, static_argnums=2)
+
+    def run(s, tgt, n):
+        s, qh = run_scan(s, tgt, n)
+        if frames is not None:
+            frames.append(np.asarray(qh))
+        return s
 
     def servo(s, tgt, rounds=4, n=50):
         cmd = tgt

@@ -315,7 +315,7 @@ def _ik_palm(env, state, target_pt, q_init, iters=500, lr=0.02,
     return jnp.concatenate([qa, fing])
 
 
-def scripted_hammer(env, state0=None, log=None, max_swings=22):
+def scripted_hammer(env, state0=None, log=None, max_swings=22, frames=None):
     """Hand-scripted tool use: descend onto the resting free hammer, cage
     the handle (aft finger first, then the fore finger wedges it against
     the backstop), lift gradually, carry toward the nail, and drive the
@@ -330,13 +330,19 @@ def scripted_hammer(env, state0=None, log=None, max_swings=22):
     hi = jnp.array(_HIGH)
     state = env.reset(jax.random.key(0)) if state0 is None else state0
 
-    def run(s, tgt, n):
+    def run_scan(s, tgt, n):
         def body(st, _):
             st, _r = env.step(st, tgt)
-            return st, None
-        return jax.lax.scan(body, s, None, length=n)[0]
+            return st, st.physics.qpos
+        return jax.lax.scan(body, s, None, length=n)
 
-    run = jax.jit(run, static_argnums=2)
+    run_scan = jax.jit(run_scan, static_argnums=2)
+
+    def run(s, tgt, n):
+        s, qh = run_scan(s, tgt, n)
+        if frames is not None:
+            frames.append(np.asarray(qh))
+        return s
 
     def servo(s, tgt, rounds=2, n=30):
         cmd = tgt

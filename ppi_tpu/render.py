@@ -152,6 +152,49 @@ def render_door_hand(env, qpos_history, path, stride=2):
                  ylim=(-0.9, 0.7), stride=stride)
 
 
+def render_hammer_hand(env, qpos_history, path, stride=2):
+    """Side view (x-z) of the grasped-hammer task: arm + fingers, the free
+    hammer (handle capsule + head), nail and bench
+    (``envs.hammer_hand.HammerHand``)."""
+    qpos_history = np.asarray(qpos_history)
+    from ppi_tpu.envs.hammer_hand import BENCH_Z, NAIL, NAIL_X
+    from ppi_tpu.envs.physics.engine_soa import make_body_frames_soa
+    frames_fn = make_body_frames_soa(env._model)
+    sites = env._sites_soa
+    # geom order fixed by _build_model: palm, tip_f, tip_a, grip_a,
+    # grip_b, head, nail_a, nail_b
+    PALM, TIP_F, TIP_A, GRIP_A, GRIP_B, HEAD = range(6)
+
+    def draw(ax, t):
+        q = qpos_history[t]
+        rot, pos = frames_fn(q)
+        pos = np.asarray(pos)
+        pts = np.asarray(sites(q))
+        ax.axhline(BENCH_Z, color="k", lw=1)
+        # arm chain (bodies 0-3) to the palm
+        xs = list(pos[:4, 0]) + [pts[PALM, 0]]
+        zs = list(pos[:4, 2]) + [pts[PALM, 2]]
+        ax.plot(xs, zs, "o-", lw=3, color="C0", ms=4)
+        # fingers: knuckle (body origin) -> tip
+        for body, tip in ((4, TIP_F), (5, TIP_A)):
+            ax.plot([pos[body, 0], pts[tip, 0]],
+                    [pos[body, 2], pts[tip, 2]], "o-", lw=1.5, ms=3,
+                    color="C2")
+        # hammer: handle from grip_a through head, head as a fat marker
+        ax.plot([pts[GRIP_A, 0], pts[HEAD, 0]],
+                [pts[GRIP_A, 2], pts[HEAD, 2]], lw=4, color="C1")
+        ax.plot([pts[HEAD, 0]], [pts[HEAD, 2]], "s", ms=12, color="C1")
+        # nail: a vertical pin at NAIL_X sinking with depth
+        depth = q[NAIL]
+        ax.plot([NAIL_X, NAIL_X], [BENCH_Z - 0.01,
+                                   BENCH_Z + 0.06 - depth],
+                lw=3, color="C3")
+        ax.set_title(f"nail depth={depth:.3f}")
+
+    return _save(path, draw, qpos_history.shape[0], xlim=(-0.2, 1.1),
+                 ylim=(0.35, 1.25), stride=stride)
+
+
 def render_planar(env, qpos_history, path, stride=2, xlim=None):
     """Side view (x-z) of a planar locomotor (cheetah/hopper)."""
     qpos_history = np.asarray(qpos_history)

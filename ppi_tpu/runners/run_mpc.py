@@ -265,6 +265,8 @@ def main(args):
                 out = render_mod.render_door(env, qh, out)
             elif args.env == "door-v0-hand":
                 out = render_mod.render_door_hand(env, qh, out)
+            elif args.env == "hammer-v0-hand":
+                out = render_mod.render_hammer_hand(env, qh, out)
             elif args.env == "relocate-v0":
                 out = render_mod.render_relocate(env, qh, out)
             elif args.env == "pen-v0":
