@@ -37,7 +37,8 @@ def main(args):
                                    n_elites=max(1, args.n_samples // 10)),
                 family=fam,
                 timesteps=args.timesteps, horizon=args.horizon,
-                n_samples=args.n_samples)
+                n_samples=args.n_samples, n_iters=args.n_iters,
+                anneal=args.anneal)
     all_obs, all_act, all_rew = [], [], []
     for ep in range(args.episodes):
         carry = agent.init(pol, jax.random.key(args.seed + ep))
@@ -68,6 +69,8 @@ if __name__ == "__main__":
     p.add_argument("--timesteps", type=int, default=250)
     p.add_argument("--horizon", type=int, default=30)
     p.add_argument("--n-samples", type=int, default=128)
+    p.add_argument("--n-iters", type=int, default=1)
+    p.add_argument("--anneal", type=float, default=1.0)
     p.add_argument("--warmstart", type=int, default=30)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="expert_data.npz")
