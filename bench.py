@@ -21,7 +21,8 @@ import jax.numpy as jnp
 N_SAMPLES = 1024
 HORIZON = 160
 TARGET_MS = 100.0
-WARMUP = 2
+WARMUP = 12  # the first ~10 post-compile executions in a fresh process
+#              run up to 10x slow on the tunneled device (see RESULTS.md)
 ITERS = 10
 
 

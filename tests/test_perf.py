@@ -20,13 +20,18 @@ pytestmark = pytest.mark.skipif(not ON_ACCEL,
 # catching any order-of-magnitude regression (e.g. losing the scalar-SoA
 # fast path).
 BUDGET_MS = 15.0
-BUDGET_MS_16K = 120.0
+BUDGET_MS_16K = 60.0  # steady scan-path 16k iteration measures ~23 ms;
+#                       the megakernel path ~9.5 ms (RESULTS.md)
 
 
 def _time_iterations(step, policy, iters=5):
     key = jax.random.key(0)
     state = policy
-    for _ in range(2):  # compile + warm
+    # compile + warm. The first ~10 post-compile executions in a fresh
+    # process run up to 10x slow on the tunneled device (staging/power
+    # warm-up) — measured r2; under-warmed loops masquerade as perf
+    # regressions, so warm well past that.
+    for _ in range(12):
         key, sub = jax.random.split(key)
         state, (_, _, costs) = step(state, sub)
     jax.block_until_ready(costs)
