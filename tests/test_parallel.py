@@ -156,6 +156,33 @@ class TestMultislice:
         np.testing.assert_allclose(np.asarray(f_local(acts)),
                                    np.asarray(f_shard(acts)), rtol=1e-5)
 
+    def test_full_mpc_step_multislice_matches(self):
+        """One MPC control step sharded over the 2-D (slices, samples)
+        mesh produces the same action/posterior as unsharded (the
+        hierarchical reductions are exact)."""
+        from ppi_tpu.parallel import make_multislice_mesh
+        env = Pendulum()
+        mean, ci, co = design_moments(env.action_low, env.action_high,
+                                      1000.0)
+        fam, pol = make_policy("WhiteNoiseIid", env.dt * jnp.arange(10),
+                               1, mean, ci, co,
+                               lower=env.action_low, upper=env.action_high)
+        solver = make_solver("Mppi", alpha=10.0)
+        mesh = make_multislice_mesh(2, 4)
+        base = dict(env=env, solver=solver, family=fam, timesteps=20,
+                    horizon=10, n_samples=32)
+        agent_l = Mpc(**base)
+        agent_s = Mpc(**base, mesh=mesh, mesh_axis=("slices", "samples"))
+        es = env.reset(jax.random.key(1))
+        c_l = agent_l.init(pol, jax.random.key(0))
+        c_s = agent_s.init(pol, jax.random.key(0))
+        a_l, c_l, _ = agent_l.control_step(c_l, es, jnp.asarray(0))
+        a_s, c_s, _ = agent_s.control_step(c_s, es, jnp.asarray(0))
+        np.testing.assert_allclose(np.asarray(a_l), np.asarray(a_s),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(c_l.policy.mean),
+                                   np.asarray(c_s.policy.mean), atol=1e-5)
+
     def test_multislice_moment_match_hierarchical_reduce(self):
         """The weighted-moment contraction over the 2-D-sharded sample axis
         must still compile to cross-device reductions without gathering the
