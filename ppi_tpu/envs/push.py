@@ -24,6 +24,12 @@ from ppi_tpu.envs.physics.engine import HINGE, SLIDE
 YAW, SHOULDER, ELBOW, WRIST, BOX_X, BOX_Y = range(6)
 TABLE_Z = 0.75
 BOX_START = (0.55, 0.1)
+# per-episode goal distribution (Fetch target_range=0.15: goal = object +
+# U(-0.15, 0.15) per xy axis, resampled until 0.1 m from the object —
+# gymnasium-robotics fetch/push sampling); the re-host enforces the 0.1 m
+# floor branchlessly by radial push-out instead of rejection resampling
+GOAL_RANGE = 0.15
+GOAL_MIN_DIST = 0.1
 
 
 def _build_model():
@@ -74,8 +80,9 @@ class FetchPush:
     substeps: int = 2
     kp: float = 60.0
     kd: float = 6.0
-    target: tuple = (0.72, -0.15)
+    target: tuple = (0.72, -0.15)   # legacy fixed goal (fixed_goal=True)
     success_radius: float = 0.05
+    fixed_goal: bool = False
 
     name = "fetch-push"
 
@@ -98,11 +105,21 @@ class FetchPush:
     def action_high(self):
         return jnp.array([1.5, 1.2, 2.0, 2.0])
 
+    def sample_goal(self, key):
+        """Tabletop goal = box start + U(-range, range)^2, radially pushed
+        out to the 0.1 m minimum the Fetch sampler enforces by rejection."""
+        if self.fixed_goal:
+            return jnp.asarray(self.target)
+        off = jax.random.uniform(key, (2,), minval=-GOAL_RANGE,
+                                 maxval=GOAL_RANGE)
+        r = jnp.linalg.norm(off) + 1e-9
+        off = off * jnp.maximum(1.0, GOAL_MIN_DIST / r)
+        return jnp.asarray(BOX_START) + off
+
     def reset(self, key):
-        del key
         qpos = jnp.array([0.0, 0.7, -0.9, 0.3, 0.0, 0.0])
         return PushState(physics=PhysicsState(qpos=qpos, qvel=jnp.zeros(6)),
-                         target=jnp.asarray(self.target),
+                         target=self.sample_goal(key),
                          t=jnp.zeros((), jnp.int32))
 
     def _positions(self, qpos):

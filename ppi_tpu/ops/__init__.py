@@ -11,6 +11,7 @@ from ppi_tpu.ops.weighting import (
     effective_sample_size,
     log_weight_stats,
     weight_entropy,
+    select_row,
 )
 from ppi_tpu.ops.moment_match import m_projection, m_projection_mavn
 from ppi_tpu.ops.divergences import (

@@ -240,7 +240,8 @@ class BaseKernel(MatrixPolicyBase):
         # MAP sequence is tracked, and the mean does NOT revert on PD failure
         # (reference: ppi/policies.py:804-848).
         state = state.replace(
-            map_sequence=params[jnp.argmax(log_w)] - state.mean_fn[None, :])
+            map_sequence=ops.select_row(params, log_w)
+            - state.mean_fn[None, :])
         corrected = params - state.mean_fn[None, None, :]
         return self.mavn_update(state, log_w, corrected,
                                 update_covariance=update_covariance,

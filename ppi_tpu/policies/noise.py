@@ -126,7 +126,10 @@ class WhiteNoiseIid:
     def weighted_update(self, state: NoiseState, log_w, params,
                         update_covariance: bool = True):
         _, nw, ess = ops.log_weight_stats(log_w)
-        state = state.replace(map_sequence=params[jnp.argmax(log_w)])
+        # shard-friendly MAP extraction (ops.select_row): a one-hot reduction
+        # over the sample axis, not a dynamic-slice that would all-gather the
+        # batch on a sample-sharded mesh
+        state = state.replace(map_sequence=ops.select_row(params, log_w))
         corrected = params - state.mean_fn[None, None, :]
         mean = jnp.einsum("b,bij->ij", nw, corrected)
         if update_covariance:

@@ -285,15 +285,16 @@ def trace_bic_trajectory(sim, q0, qs, qds):
             state)
 
 
-def render_relocate(env, qpos_history, path, stride=2):
+def render_relocate(env, qpos_history, path, stride=2, target=None):
     """Side view (x-z) of the relocate task: arm, caging fingers, free ball,
-    in-air target."""
+    in-air target. ``target`` is the episode's sampled goal (falls back to
+    the env's legacy fixed goal)."""
     qpos_history = np.asarray(qpos_history)
     from ppi_tpu.envs.physics.engine_soa import make_body_frames_soa
     from ppi_tpu.envs.relocate import BALL_RADIUS, TABLE_Z
     frames_fn = make_body_frames_soa(env._model)
     sites = env._sites_soa
-    target = np.asarray(env.target)
+    target = np.asarray(env.target if target is None else target)
 
     def draw(ax, t):
         q = qpos_history[t]
@@ -324,13 +325,14 @@ def render_relocate(env, qpos_history, path, stride=2):
                  ylim=(0.3, 1.4), stride=stride)
 
 
-def render_pen(env, qpos_history, path, stride=2):
+def render_pen(env, qpos_history, path, stride=2, target=None):
     """Top/side two-projection schematic of the pen task: rod, fingertips,
-    target orientation ray."""
+    target orientation ray. ``target`` is the episode's sampled goal axis
+    (falls back to the env's legacy fixed axis)."""
     qpos_history = np.asarray(qpos_history)
     from ppi_tpu.envs.pen import HOLD_POS, PEN_HALF
     hold = np.asarray(HOLD_POS)
-    tgt = np.asarray(env._target_axis)
+    tgt = np.asarray(env._target_axis if target is None else target)
 
     def draw(ax, t):
         q = qpos_history[t]

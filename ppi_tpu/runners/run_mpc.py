@@ -268,9 +268,11 @@ def main(args):
             elif args.env == "hammer-v0-hand":
                 out = render_mod.render_hammer_hand(env, qh, out)
             elif args.env == "relocate-v0":
-                out = render_mod.render_relocate(env, qh, out)
+                out = render_mod.render_relocate(
+                    env, qh, out, target=env_state.target)
             elif args.env == "pen-v0":
-                out = render_mod.render_pen(env, qh, out)
+                out = render_mod.render_pen(
+                    env, qh, out, target=env_state.target_axis)
             else:
                 out = render_mod.render_planar(env, qh, out)
             logging.info("rendered %s", out)

@@ -37,7 +37,7 @@ class TestRelocate:
         # feasibility: close the caging fingers, lift, carry to the in-air
         # target (the analogue of the reference's scripted-sine __main__
         # smoke test; reference: ball_in_a_cup.py:664-699)
-        env = Relocate()
+        env = Relocate(fixed_goal=True)
         s0 = env.reset(jax.random.key(0))
         q0 = np.asarray(s0.physics.qpos[:6])
         grip = [-0.5, 0.5]
@@ -53,7 +53,7 @@ class TestRelocate:
         sf, rew = rollout(env, s0, acts)
         assert np.isfinite(np.asarray(rew)).all()
         _, _, ball = env._sites(sf.physics.qpos)
-        dist = float(jnp.linalg.norm(ball - env.target))
+        dist = float(jnp.linalg.norm(ball - sf.target))
         assert bool(env.success(sf)), f"ball-target dist {dist:.3f}"
         # the ball must actually have been lifted off the table
         assert float(ball[2]) > TABLE_Z + BALL_RADIUS + 0.1
@@ -80,9 +80,9 @@ class TestPen:
     def test_closed_loop_reorientation(self):
         # a proportional fingertip controller substantially reorients the
         # pen toward the target axis (full alignment is the MPC's job)
-        env = Pen()
+        env = Pen(fixed_goal=True)
         s0 = env.reset(jax.random.key(0))
-        tgt = env._target_axis
+        tgt = s0.target_axis
         hold = jnp.asarray(HOLD_POS)
 
         def controller(s):
@@ -110,3 +110,66 @@ class TestPen:
         # and the pen was not dropped
         centre, _ = env._pen_pose(sf.physics.qpos)
         assert float(centre[2]) > HOLD_POS[2] - 0.15
+
+
+class TestSampledGoals:
+    """Per-episode goal randomization (VERDICT r2 missing #3): different
+    reset keys draw different goals from the mj_envs distributions, and
+    success is judged against the EPISODE's sampled goal."""
+
+    def test_pen_goals_differ_and_lie_in_distribution(self):
+        env = Pen()
+        s1 = env.reset(jax.random.key(1))
+        s2 = env.reset(jax.random.key(2))
+        a1, a2 = np.asarray(s1.target_axis), np.asarray(s2.target_axis)
+        assert np.linalg.norm(a1 - a2) > 1e-3
+        for a in (a1, a2):
+            np.testing.assert_allclose(np.linalg.norm(a), 1.0, rtol=1e-5)
+
+    def test_pen_fixed_goal_is_deterministic(self):
+        env = Pen(fixed_goal=True)
+        s1 = env.reset(jax.random.key(1))
+        s2 = env.reset(jax.random.key(2))
+        np.testing.assert_allclose(np.asarray(s1.target_axis),
+                                   np.asarray(s2.target_axis))
+
+    def test_relocate_goals_differ_and_success_tracks_goal(self):
+        from ppi_tpu.envs.relocate import GOAL_X, GOAL_Y, GOAL_Z
+        env = Relocate()
+        s1 = env.reset(jax.random.key(1))
+        s2 = env.reset(jax.random.key(2))
+        t1, t2 = np.asarray(s1.target), np.asarray(s2.target)
+        assert np.linalg.norm(t1 - t2) > 1e-3
+        for t in (t1, t2):
+            assert GOAL_X[0] <= t[0] <= GOAL_X[1]
+            assert GOAL_Y[0] <= t[1] <= GOAL_Y[1]
+            assert GOAL_Z[0] <= t[2] <= GOAL_Z[1]
+        # teleport the ball onto each episode's own goal: success must key
+        # on the sampled goal, not a global constant
+        from ppi_tpu.envs.relocate import BALL_START, TABLE_Z, BALL_RADIUS
+
+        def at_goal(s):
+            q = s.physics.qpos
+            q = q.at[6].set(s.target[0] - BALL_START[0])
+            q = q.at[7].set(s.target[1] - BALL_START[1])
+            q = q.at[8].set(s.target[2] - (TABLE_Z + BALL_RADIUS))
+            return s.replace(physics=s.physics.replace(qpos=q))
+
+        assert bool(env.success(at_goal(s1)))
+        assert bool(env.success(at_goal(s2)))
+        # ...and a state at episode-2's goal fails episode-1's test when the
+        # goals differ enough to matter
+        if np.linalg.norm(t1 - t2) > 0.1:
+            s_cross = at_goal(s2).replace(target=s1.target)
+            assert not bool(env.success(s_cross))
+
+    def test_fetch_push_goal_floor_distance(self):
+        from ppi_tpu.envs.push import BOX_START, FetchPush, GOAL_MIN_DIST
+        env = FetchPush()
+        targets = [np.asarray(env.reset(jax.random.key(k)).target)
+                   for k in range(8)]
+        assert max(np.linalg.norm(a - b) for a in targets
+                   for b in targets) > 1e-3
+        for t in targets:
+            assert np.linalg.norm(t - np.asarray(BOX_START)) \
+                >= GOAL_MIN_DIST - 1e-6
