@@ -38,7 +38,7 @@ mpc-lbps:
 mpc-essps:
 	$(PY) -m ppi_tpu.runners.run_mpc Essps hammer-v0 RffFeatures \
 	    --n-elites 10 --lengthscale 0.15 --dir results/mpc \
-	    MonteCarlo --n-samples 128
+	    MonteCarlo --n-samples 64
 
 # enriched door embodiment (12-DoF arm + hand), canonical smooth config
 mpc-hand:

@@ -14,7 +14,11 @@ Redesigned physics, same task semantics:
     dynamics (XPBD-style distance projection under a fixed iteration scan) —
     inextensible, unconditionally stable under vmap, replacing the 29
     capsule two-hinge bodies (reference scene: ball_in_cup_cylinder.xml);
-    string->arm back-reaction is neglected (ball is 21 g vs a multi-kg arm);
+    the string->arm back-reaction is applied every step through the
+    anchor-point Jacobian (J^T F via vjp), by default in the same step via
+    a predictor-corrector pass (``same_step_coupling``) — validated
+    equivalent to the lagged pass at this mass ratio (RESULTS.md), both
+    paths tested;
   * ball-cup contact is a smooth penalty against the cup's capped-cylinder
     SDF; a ball-arm proximity test raises the constraint-violation flag that
     freezes the trace, mirroring the reference's early stop
@@ -99,7 +103,10 @@ class BallInCupSim:
     dt: float = 2e-3           # effective control step (reference: 5e-4 x 4)
     pbd_iterations: int = 15
     n_particles: int = N_PARTICLES   # string resolution (reference: 29 caps)
-    same_step_coupling: bool = False  # predictor-corrector arm<->string step
+    same_step_coupling: bool = True  # predictor-corrector arm<->string step
+    #   (False: apply the previous step's string reaction — the lagged path,
+    #   equivalent at the 21 g ball / multi-kg arm mass ratio, kept for
+    #   comparison studies)
     stabilize_steps: int = 250
     cooldown_steps: int = 350
     dipole_eps: float = 1e-3   # (reference: envs.py:198)

@@ -35,6 +35,22 @@ def _round_up_128(n: int) -> int:
     return -(-n // 128) * 128
 
 
+def _pick_block(n_samples: int) -> int:
+    """Pallas rollout block size: the largest <=1024 multiple of 128 that
+    DIVIDES the 128-padded batch, so kernel padding never exceeds one
+    128-lane group (ADVICE r2: min(1024, round_up(n)) could pad ~2x,
+    e.g. n=1100 -> block 1024 -> padded grid 2048)."""
+    padded = _round_up_128(n_samples)
+    if padded <= 1024:
+        return padded
+    groups = padded // 128
+    best = 1
+    for g in range(2, 9):           # candidate blocks: 256..1024
+        if groups % g == 0:
+            best = g
+    return best * 128
+
+
 @dataclasses.dataclass(frozen=True)
 class Mpc:
     """MPC agent configuration (static)."""
@@ -53,6 +69,13 @@ class Mpc:
                               # multi-slice sharding (("slices", "samples"))
     use_pallas: bool = False  # whole-rollout Pallas megakernel (TPU; the env
                               # must implement the scalar-SoA contract)
+
+    def __post_init__(self):
+        if self.mesh is not None and self.use_pallas:
+            raise ValueError(
+                "Mpc: mesh and use_pallas are mutually exclusive rollout "
+                "backends (the mesh branch would silently win). Pick one; "
+                "sharded Pallas rollouts are not implemented.")
 
     @property
     def dt(self) -> float:
@@ -93,8 +116,7 @@ class Mpc:
                 pallas_mpc_objective)
             f = pallas_mpc_objective(self.env, env_state, self.horizon,
                                      self.horizon_mask(time_index),
-                                     block=min(1024, _round_up_128(
-                                         self.n_samples)))
+                                     block=_pick_block(self.n_samples))
         else:
             f = mpc_objective(self.env, env_state,
                               self.horizon_mask(time_index))

@@ -53,7 +53,8 @@ def main(args):
     np.savez(args.out,
              observations=np.concatenate(all_obs),
              actions=np.concatenate(all_act),
-             rewards=np.concatenate(all_rew))
+             rewards=np.concatenate(all_rew),
+             episode_length=np.asarray(args.timesteps))
     print(f"wrote {args.out}")
 
 

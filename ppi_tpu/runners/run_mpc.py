@@ -201,6 +201,12 @@ def main(args):
         if not supports_pallas(env):
             raise SystemExit(f"--use-pallas: {args.env} does not implement "
                              "the scalar-SoA kernel contract")
+        if jax.default_backend() == "cpu":
+            # a compiled (non-interpret) pallas_call on the CPU backend dies
+            # with an obscure Mosaic lowering error — fail with a clear
+            # message instead (ADVICE r2; bench.py applies the same check)
+            raise SystemExit("--use-pallas needs a TPU backend; the current "
+                             "JAX backend is 'cpu'")
     agent = Mpc(env=env, solver=solver, family=family,
                 timesteps=args.timesteps, horizon=args.horizon,
                 n_samples=args.n_samples, n_iters=args.n_iters,
@@ -240,8 +246,10 @@ def main(args):
     obs = np.asarray(track["obs"])
     ret = float(rewards.sum())
     logging.info("Return: %.2f over %d timesteps", ret, args.timesteps)
+    success = np.nan
     if hasattr(env, "success"):
-        logging.info("Success: %s", bool(env.success(env_state)))
+        success = float(bool(env.success(env_state)))
+        logging.info("Success: %s", bool(success))
 
     power = float(signal_power(jnp.asarray(acts)))
     sm, sm_max, sp, freq, act_norm = fft_smoothness(jnp.asarray(acts), dt)
@@ -284,6 +292,7 @@ def main(args):
                      ess=np.asarray(track["ess"]),
                      alphas=np.asarray(track["alpha"]),
                      sm=float(sm), sm_max=float(sm_max), power=power,
+                     success=success,
                      action_signal=np.asarray(act_norm))
     return ret, track
 

@@ -109,3 +109,42 @@ def plot_smoothness(spectrum, freqs, signal, filename=None):
     axs[1].set_title("spectrum")
     _save(fig, filename)
     return fig
+
+
+def plot_expert_data(data, filename=None, n_episodes=10, d_viz=10,
+                     max_steps=250):
+    """Expert-dataset inspection: per-episode reward curves + overlaid
+    leading action dimensions (counterpart of the reference's
+    mpc/model_selection/data/view_data.py). ``data`` is a dict/NpzFile with
+    ``actions`` (T, d_a), ``rewards`` (T,) and optionally
+    ``episode_length`` to split the concatenated stream into episodes."""
+    plt = _plt()
+    act = np.asarray(data["actions"])
+    rew = np.asarray(data["rewards"])
+    ep_len = int(data["episode_length"]) if "episode_length" in data \
+        else rew.shape[0]
+    n_eps = max(1, rew.shape[0] // ep_len)
+    rew = rew[: n_eps * ep_len].reshape(n_eps, ep_len)
+    act = act[: n_eps * ep_len].reshape(n_eps, ep_len, -1)
+    d = min(d_viz, act.shape[-1])
+    fig, axs = plt.subplots(1 + d, figsize=(8, 1.2 * (1 + d)), sharex=True)
+    axs = np.atleast_1d(axs)
+    axs[0].plot(rew[:n_episodes].T)
+    axs[0].set_ylabel("reward")
+    for i in range(d):
+        axs[1 + i].plot(act[: min(5, n_eps), :max_steps, i].T, alpha=0.3)
+        axs[1 + i].set_ylabel(f"a[{i}]")
+    axs[-1].set_xlabel("step")
+    _save(fig, filename)
+    return fig
+
+
+if __name__ == "__main__":
+    # `python -m ppi_tpu.viz expert.npz [out.png]` — the view_data CLI
+    import sys as _sys
+
+    _data = np.load(_sys.argv[1])
+    _out = _sys.argv[2] if len(_sys.argv) > 2 else None
+    plot_expert_data(_data, _out)
+    if _out is None:
+        _plt().show()
