@@ -38,17 +38,11 @@ _HIGH = (1.5, 1.6, 2.3, 2.0, 1.6, 1.8, 1.6, 1.8, 0.3, 0.0)
 
 
 def _add_digit(b, y, z, mcp_limits, pip_limits):
-    """Two-hinge digit on the wrist; returns (mcp, pip) body ids."""
-    mcp = b.add_body(parent=WRIST, joint_type=HINGE, axis=(0, 1, 0),
-                     offset_pos=(0.16 if z > 0 else 0.12, y, z),
-                     mass=0.08, com=(0.025, 0, 0),
-                     inertia=np.diag([3e-5, 3e-5, 3e-5]), damping=0.25,
-                     armature=0.02, q_limit=mcp_limits, limit_k=20.0)
-    pip = b.add_body(parent=mcp, joint_type=HINGE, axis=(0, 1, 0),
-                     offset_pos=(0.05, 0, 0), mass=0.05, com=(0.02, 0, 0),
-                     inertia=np.diag([2e-5, 2e-5, 2e-5]), damping=0.2,
-                     armature=0.015, q_limit=pip_limits, limit_k=20.0)
-    return mcp, pip
+    """Two-hinge digit on the wrist via the shared hand builder
+    (envs.hand.add_digit); returns (mcp, pip) body ids."""
+    from ppi_tpu.envs.hand import add_digit
+    return add_digit(b, WRIST, (0.16 if z > 0 else 0.12, y, z), (0, 1, 0),
+                     mcp_limits, pip_limits)
 
 
 def _build_model():

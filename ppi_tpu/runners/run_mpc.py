@@ -32,8 +32,10 @@ from ppi_tpu.envs.hammer import Hammer
 from ppi_tpu.envs.hammer_hand import HammerHand
 from ppi_tpu.envs.hopper import Hopper
 from ppi_tpu.envs.pen import Pen
+from ppi_tpu.envs.pen_hand import PenHand
 from ppi_tpu.envs.push import FetchPush
 from ppi_tpu.envs.relocate import Relocate
+from ppi_tpu.envs.relocate_hand import RelocateHand
 from ppi_tpu.envs.standup import HumanoidStandup
 from ppi_tpu.envs.walker import Walker, WalkerWalk
 from ppi_tpu.envs.reacher import Reacher
@@ -54,7 +56,9 @@ ENVS = {
     "hammer-v0-hand": HammerHand,
     "hopper": Hopper,
     "pen-v0": Pen,
+    "pen-v0-hand": PenHand,
     "relocate-v0": Relocate,
+    "relocate-v0-hand": RelocateHand,
     "humanoid-standup": HumanoidStandup,
     "fetch-push": FetchPush,
     "walker2d": Walker,
