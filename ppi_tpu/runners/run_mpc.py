@@ -33,6 +33,7 @@ from ppi_tpu.envs.hammer_hand import HammerHand
 from ppi_tpu.envs.hopper import Hopper
 from ppi_tpu.envs.pen import Pen
 from ppi_tpu.envs.pen_hand import PenHand
+from ppi_tpu.envs.fetch_pick import FetchPickAndPlace
 from ppi_tpu.envs.push import FetchPush
 from ppi_tpu.envs.relocate import Relocate
 from ppi_tpu.envs.relocate_hand import RelocateHand
@@ -61,6 +62,7 @@ ENVS = {
     "relocate-v0-hand": RelocateHand,
     "humanoid-standup": HumanoidStandup,
     "fetch-push": FetchPush,
+    "fetch-pick": FetchPickAndPlace,
     "walker2d": Walker,
     "walker~walk": WalkerWalk,
 }

