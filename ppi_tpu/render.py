@@ -351,3 +351,85 @@ def render_pen(env, qpos_history, path, stride=2, target=None):
     return _save(path, draw, qpos_history.shape[0],
                  xlim=(hold[0] - 0.2, hold[0] + 0.2),
                  ylim=(hold[2] - 0.2, hold[2] + 0.2), stride=stride)
+
+
+def render_pen_hand(env, qpos_history, path, stride=2, target=None):
+    """Side-view (y-z at the hold) schematic of the pen-hand task: rod,
+    three articulated digits, target orientation ray
+    (``envs.pen_hand.PenHand``)."""
+    qpos_history = np.asarray(qpos_history)
+    from ppi_tpu.envs.pen import HOLD_POS, PEN_HALF
+    from ppi_tpu.envs.pen_hand import DIGIT_DROP, THUMB_RISE
+    hold = np.asarray(HOLD_POS)
+    tgt = np.asarray(env._target_axis if target is None else target)
+    from ppi_tpu.envs.physics.engine_soa import make_body_frames_soa
+    frames_fn = make_body_frames_soa(env._model)
+    sites = env._sites_soa
+    # body order: 5 pen dofs, then (mcp, pip) x (A, B, thumb)
+    DIGIT_BODIES = ((5, 6), (7, 8), (9, 10))
+    MOUNT_Z = [hold[2] - DIGIT_DROP, hold[2] - DIGIT_DROP,
+               hold[2] + THUMB_RISE]
+    # geom order: end_a, end_b, then (prox, tip) x 3
+    DIGIT_GEOMS = ((2, 3), (4, 5), (6, 7))
+
+    def draw(ax, t):
+        q = qpos_history[t]
+        pts = np.asarray(sites(q))
+        ea, eb = pts[0], pts[1]
+        # x-z projection: rod + target ray
+        ax.plot([ea[0], eb[0]], [ea[2], eb[2]], "-", lw=4, color="C0")
+        ray = np.stack([hold - PEN_HALF * tgt, hold + PEN_HALF * tgt])
+        ax.plot(ray[:, 0], ray[:, 2], "--", lw=2, color="C1")
+        rot, pos = frames_fn(q)
+        pos = np.asarray(pos)
+        for (mcp, pip), (prox_g, tip_g), mz in zip(
+                DIGIT_BODIES, DIGIT_GEOMS, MOUNT_Z):
+            mount = pos[mcp]
+            ax.plot([mount[0], pts[prox_g, 0], pts[tip_g, 0]],
+                    [mount[2], pts[prox_g, 2], pts[tip_g, 2]],
+                    "o-", lw=1.5, ms=3, color="C2")
+        axis = (ea - eb) / (np.linalg.norm(ea - eb) + 1e-9)
+        ax.set_title(f"similarity {float(axis @ tgt):.3f}")
+
+    return _save(path, draw, qpos_history.shape[0],
+                 xlim=(hold[0] - 0.22, hold[0] + 0.22),
+                 ylim=(hold[2] - 0.22, hold[2] + 0.22), stride=stride)
+
+
+def render_relocate_hand(env, qpos_history, path, stride=2, target=None):
+    """Side view (x-z) of the relocate-hand task: arm, three digits, free
+    ball, in-air target (``envs.relocate_hand.RelocateHand``)."""
+    qpos_history = np.asarray(qpos_history)
+    from ppi_tpu.envs.physics.engine_soa import make_body_frames_soa
+    from ppi_tpu.envs.relocate import BALL_RADIUS, TABLE_Z
+    frames_fn = make_body_frames_soa(env._model)
+    sites = env._sites_soa
+    tgt = np.asarray(env.target if target is None else target)
+    # geom order: palm, (prox, tip) x 3 digits, ball
+    DIGITS = ((1, 2), (3, 4), (5, 6))
+    BALL = 7
+
+    def draw(ax, t):
+        q = qpos_history[t]
+        rot, pos = frames_fn(q)
+        pos = np.asarray(pos)
+        pts = np.asarray(sites(q))
+        ax.axhline(TABLE_Z, color="k", lw=1)
+        palm = pts[0]
+        xs = list(pos[:4, 0]) + [float(palm[0])]
+        zs = list(pos[:4, 2]) + [float(palm[2])]
+        ax.plot(xs, zs, "o-", lw=3, color="C0", ms=4)
+        for prox, tip in DIGITS:
+            ax.plot([palm[0], pts[prox, 0], pts[tip, 0]],
+                    [palm[2], pts[prox, 2], pts[tip, 2]],
+                    "o-", lw=1.5, ms=3, color="C2")
+        ball = pts[BALL]
+        circ = np.linspace(0, 2 * np.pi, 24)
+        ax.plot(ball[0] + BALL_RADIUS * np.cos(circ),
+                ball[2] + BALL_RADIUS * np.sin(circ), color="C3")
+        ax.plot(tgt[0], tgt[2], "*", ms=14, color="C1")
+        dist = np.linalg.norm(ball - tgt)
+        ax.set_title(f"ball-target {dist:.3f} m")
+
+    return _save(path, draw, qpos_history.shape[0], xlim=(-0.2, 1.1),
+                 ylim=(0.3, 1.4), stride=stride)

@@ -27,6 +27,81 @@ import numpy as np
 
 from ppi_tpu.runners.run_mpc import build_parser as mpc_parser, main as mpc_main
 
+
+def run_grid_vmapped(env_name: str, seeds: int, timesteps: int, horizon: int,
+                     n_samples: int, outdir: Path, warmstart: int = 50):
+    """All seeds of a config as ONE compiled vmapped program.
+
+    The roofline analysis (RESULTS.md) shows the per-episode program is
+    latency-bound at ~0.1% MXU utilization — the spare lanes are free, so
+    vmapping the seed axis turns them into wall-clock (VERDICT r2 weak #6):
+    per-seed init/reset/warm-start/episode all batch, and an N-seed overlay
+    costs roughly one episode's wall time per config. Success comes from
+    env.success on the per-seed final states.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ppi_tpu.algorithms import make_solver
+    from ppi_tpu.mpc import Mpc, fft_smoothness
+    from ppi_tpu.policies import design_moments, make_policy
+    from ppi_tpu.runners.run_mpc import ENVS
+
+    env = ENVS[env_name]()
+    dt = env.dt
+    results = {}
+    for label, alg, policy_name, extra in CONFIGS:
+        kw = {}
+        it = iter(extra)
+        for k in it:
+            kw[k.lstrip("-").replace("-", "_")] = float(next(it))
+        fam, pol = make_policy(
+            policy_name, dt * jnp.arange(horizon), env.action_dim,
+            *design_moments(env.action_low, env.action_high, ratio=1000.0),
+            lengthscale=kw.get("lengthscale", 1.0),
+            n_features=int(kw.get("n_features", 10)),
+            sampler="Particles" if alg == "iCem" else "MonteCarlo",
+            lower=env.action_low, upper=env.action_high,
+            max_particles=max(1, int(0.33 * kw.get("n_elites", 10))))
+        solver = make_solver(alg, n_elites=int(kw.get("n_elites", 10)),
+                             delta=kw.get("delta", 0.9),
+                             epsilon=kw.get("epsilon", 1.0))
+        agent = Mpc(env=env, solver=solver, family=fam, timesteps=timesteps,
+                    horizon=horizon, n_samples=n_samples,
+                    n_iters=int(kw.get("n_iters", 1)),
+                    anneal=kw.get("anneal", 1.0), use_map=alg == "iCem")
+
+        def one_seed(seed_key):
+            k_pol, k_env = jax.random.split(seed_key)
+            carry = agent.init(pol, k_pol)
+            es = env.reset(k_env)
+            carry, _ = agent.warm_start(carry, es, n_iters=warmstart)
+            carry, es_f, track = agent.run_episode_scan(carry, es,
+                                                        collect=False)
+            success = (env.success(es_f) if hasattr(env, "success")
+                       else jnp.nan)
+            return track["reward"], track["action"], success
+
+        keys = jax.random.split(jax.random.key(0), seeds)
+        rewards, actions, succ = jax.jit(jax.vmap(one_seed))(keys)
+        rewards = np.asarray(rewards)
+        succ = np.asarray(succ)
+        runs = []
+        for i in range(seeds):
+            sm, sm_max, *_ = fft_smoothness(jnp.asarray(actions[i]), dt)
+            runs.append({
+                "seed": i,
+                "return": float(rewards[i].sum()),
+                "rewards": rewards[i].astype(np.float64),
+                "sm": float(sm), "sm_max": float(sm_max),
+                "power": float(np.mean(np.square(actions[i]))),
+                "success": float(succ[i]),
+            })
+            print(f"[{label}] seed {i}: return {runs[-1]['return']:.1f} "
+                  f"sm {runs[-1]['sm']:.2f} success {succ[i]}")
+        results[label] = runs
+    return results
+
 # the three canonical prior families of the reference Makefile door configs
 # (reference: Makefile:14-21); labels follow the paper's terminology
 CONFIGS = [
@@ -130,8 +205,9 @@ def plot_overlay(results, rows, path: Path):
 def main(args):
     outdir = Path(args.dir)
     outdir.mkdir(parents=True, exist_ok=True)
-    results = run_grid(args.env, args.seeds, args.timesteps, args.horizon,
-                       args.n_samples, outdir)
+    grid = run_grid_vmapped if args.vmap_seeds else run_grid
+    results = grid(args.env, args.seeds, args.timesteps, args.horizon,
+                   args.n_samples, outdir)
     rows = summarize(results)
     (outdir / "summary.json").write_text(json.dumps(rows, indent=2))
     plot_overlay(results, rows, outdir / "overlay.png")
@@ -154,5 +230,8 @@ if __name__ == "__main__":
     p.add_argument("--timesteps", type=int, default=250)
     p.add_argument("--horizon", type=int, default=30)
     p.add_argument("--n-samples", type=int, default=64)
+    p.add_argument("--vmap-seeds", action="store_true",
+                   help="run all seeds of each config as one compiled "
+                        "vmapped program (no per-seed npz artifacts)")
     p.add_argument("--dir", default="results/corl")
     main(p.parse_args())

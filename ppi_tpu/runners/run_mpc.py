@@ -284,8 +284,17 @@ def main(args):
             elif args.env == "relocate-v0":
                 out = render_mod.render_relocate(
                     env, qh, out, target=env_state.target)
+            elif args.env == "relocate-v0-hand":
+                out = render_mod.render_relocate_hand(
+                    env, qh, out, target=env_state.target)
+            elif args.env == "fetch-pick":
+                out = render_mod.render_relocate(
+                    env, qh, out, target=env_state.target)
             elif args.env == "pen-v0":
                 out = render_mod.render_pen(
+                    env, qh, out, target=env_state.target_axis)
+            elif args.env == "pen-v0-hand":
+                out = render_mod.render_pen_hand(
                     env, qh, out, target=env_state.target_axis)
             else:
                 out = render_mod.render_planar(env, qh, out)
