@@ -19,6 +19,10 @@ Env contract (duck-typed, see ``ppi_tpu.envs.door`` for the flagship):
   * ``env.dt``, ``env.substeps``, ``env.action_dim``
   * ``env.scalar_torque(m, q, qd, act)`` — tuples of per-lane scalars -> tau
   * ``env.scalar_reward(m, q, qd)``      — tuples -> per-lane scalar reward
+  * optional ``env.scalar_reward_consts(state) -> (k,) array`` — per-episode
+    reward constants (e.g. the SAMPLED goal of pen/relocate/fetch); when
+    present, ``scalar_reward(m, q, qd, consts)`` receives them as a tuple
+    of kernel scalars read from VMEM
 
 Semantics match ``envs.base.rollout(guard=True)`` exactly: a lane whose
 state goes non-finite has its reward latched to NaN from that step on, which
@@ -44,7 +48,7 @@ def _round_up(x: int, m: int) -> int:
 
 def make_pallas_rollout(model, dt: float, substeps: int, horizon: int,
                         action_dim: int, torque_fn, reward_fn,
-                        project_fn=None,
+                        project_fn=None, n_consts: int = 0,
                         block: int = 1024, interpret: bool = False):
     """Build ``(q0 (N,nq), qd0 (N,nq), actions (N,H,da)) ->
     (rewards (N,H), qpos_f (N,nq), qvel_f (N,nq))`` with the whole rollout
@@ -55,13 +59,22 @@ def make_pallas_rollout(model, dt: float, substeps: int, horizon: int,
     jnp elementwise programs on tuples (no stacking/gathers). The optional
     ``project_fn(m, q_prev, q, qd) -> (q, qd)`` is a per-control-step
     kinematic projection (e.g. the door-hand bolt clamp) applied after the
-    substep loop, with ``q_prev`` the pre-step coordinates.
+    substep loop, with ``q_prev`` the pre-step coordinates. With
+    ``n_consts > 0`` the returned runner takes a trailing ``(n_consts,)``
+    array of per-episode reward constants (the sampled goal) and
+    ``reward_fn(m, q, qd, consts)`` receives them as a tuple of scalars.
     """
     m = SoaModel(model)
     nq = m.nq
     h = dt / substeps
 
-    def kernel(q0_ref, qd0_ref, act_ref, rew_ref, qf_ref, qdf_ref):
+    def kernel(q0_ref, qd0_ref, act_ref, *rest):
+        if n_consts:
+            consts_ref, rew_ref, qf_ref, qdf_ref = rest
+            consts = tuple(consts_ref[0, j] for j in range(n_consts))
+        else:
+            rew_ref, qf_ref, qdf_ref = rest
+            consts = None
         q = tuple(q0_ref[j, :] for j in range(nq))
         qd = tuple(qd0_ref[j, :] for j in range(nq))
         bad = jnp.zeros((block,), jnp.float32)
@@ -89,7 +102,8 @@ def make_pallas_rollout(model, dt: float, substeps: int, horizon: int,
                 jnp.logical_and,
                 [jnp.isfinite(x) for x in q + qd])
             bad = jnp.maximum(bad, 1.0 - fin.astype(jnp.float32))
-            r = reward_fn(m, q, qd)
+            r = reward_fn(m, q, qd) if consts is None else \
+                reward_fn(m, q, qd, consts)
             r = jnp.where(bad > 0.0, jnp.nan, r)
             rew_ref[pl.ds(t, 1), :] = r[None, :]
             return (q, qd, bad)
@@ -99,7 +113,7 @@ def make_pallas_rollout(model, dt: float, substeps: int, horizon: int,
             qf_ref[j, :] = q[j]
             qdf_ref[j, :] = qd[j]
 
-    def run(q0, qd0, actions):
+    def run(q0, qd0, actions, consts=None):
         n = actions.shape[0]
         n_pad = _round_up(max(n, block), block)
         if n_pad != n:
@@ -118,18 +132,26 @@ def make_pallas_rollout(model, dt: float, substeps: int, horizon: int,
         act_t = jnp.transpose(actions.astype(jnp.float32),
                               (1, 2, 0))                     # (H, da, N)
         grid = (n_pad // block,)
+        in_specs = [
+            pl.BlockSpec((nq, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((horizon, action_dim, block),
+                         lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands = [q0_t, qd0_t, act_t]
+        if n_consts:
+            # per-episode reward constants: one tiny replicated VMEM row
+            in_specs.append(pl.BlockSpec((1, n_consts), lambda i: (0, 0),
+                                         memory_space=pltpu.VMEM))
+            operands.append(
+                jnp.asarray(consts, jnp.float32).reshape(1, n_consts))
         rew, qf, qdf = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((nq, block), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((nq, block), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((horizon, action_dim, block),
-                             lambda i: (0, 0, i),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((horizon, block), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
@@ -144,7 +166,7 @@ def make_pallas_rollout(model, dt: float, substeps: int, horizon: int,
                 jax.ShapeDtypeStruct((nq, n_pad), jnp.float32),
             ],
             interpret=interpret,
-        )(q0_t, qd0_t, act_t)
+        )(*operands)
         return rew.T[:n], qf.T[:n], qdf.T[:n]
 
     return run
@@ -166,10 +188,15 @@ def pallas_mpc_objective(env, state0, horizon: int, horizon_mask=None,
     if not supports_pallas(env):
         raise ValueError(f"{env!r} does not implement the scalar-SoA "
                          "kernel contract (scalar_torque/scalar_reward)")
+    consts = None
+    if hasattr(env, "scalar_reward_consts"):
+        consts = jnp.asarray(env.scalar_reward_consts(state0))
     run = make_pallas_rollout(env._model, env.dt, env.substeps, horizon,
                               env.action_dim, env.scalar_torque,
                               env.scalar_reward,
                               project_fn=getattr(env, "scalar_project", None),
+                              n_consts=0 if consts is None
+                              else int(consts.shape[0]),
                               block=block, interpret=interpret)
     q0 = state0.physics.qpos
     qd0 = state0.physics.qvel
@@ -179,7 +206,7 @@ def pallas_mpc_objective(env, state0, horizon: int, horizon_mask=None,
         n = action_sequences.shape[0]
         rewards, _, _ = run(jnp.broadcast_to(q0, (n,) + q0.shape),
                             jnp.broadcast_to(qd0, (n,) + qd0.shape),
-                            action_sequences)
+                            action_sequences, consts)
         if horizon_mask is not None:
             rewards = rewards * horizon_mask[None, :]
         return -jnp.sum(rewards, axis=1)

@@ -146,3 +146,56 @@ class TestPallasRollout:
         finally:
             pr.make_pallas_rollout = orig
         assert bool(jnp.all(jnp.isfinite(costs)))
+
+
+class TestRewardConsts:
+    """Per-episode reward constants in the kernel (the sampled-goal
+    contract extension): reward_fn(m, q, qd, consts) receives the goal as
+    kernel scalars; cross-validated against the scan oracle."""
+
+    def test_consts_threaded_and_change_rewards(self):
+        """Toy check of the n_consts plumbing on the cheap door model: a
+        consts-dependent reward must match an oracle evaluated with the
+        same constants, and differ across constants."""
+        env = Door()
+        h, n = 3, 8
+        s0, q0, qd0 = _batched_state0(env, n)
+        acts = 0.2 * jax.random.normal(jax.random.key(5),
+                                       (n, h, env.action_dim))
+
+        def reward_consts(m, q, qd, consts):
+            cx, scale = consts
+            return scale * env.scalar_reward(m, q, qd) + cx
+
+        run = make_pallas_rollout(env._model, env.dt, env.substeps, h,
+                                  env.action_dim, env.scalar_torque,
+                                  reward_consts, n_consts=2, block=128,
+                                  interpret=INTERPRET)
+        _, rew_ref = batch_rollout(env, s0, acts)
+        for cx, scale in ((0.0, 1.0), (3.5, 2.0)):
+            rew, _, _ = run(q0, qd0, acts,
+                            consts=jnp.array([cx, scale]))
+            np.testing.assert_allclose(np.asarray(rew),
+                                       scale * np.asarray(rew_ref) + cx,
+                                       rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.skipif(INTERPRET, reason="11-13 DoF scalar-SoA kernels "
+                        "compile in minutes on CPU; device-validated "
+                        "(make perf / PPI_TPU_TEST_PLATFORM=axon)")
+    @pytest.mark.parametrize("env_name", ["pen-v0-hand", "relocate-v0-hand"])
+    def test_hand_env_kernels_match_oracle_on_device(self, env_name):
+        from ppi_tpu.envs.base import mpc_objective
+        from ppi_tpu.runners.run_mpc import ENVS
+        env = ENVS[env_name]()
+        s0 = env.reset(jax.random.key(0))
+        h, n = 4, 256
+        nact = env.action_dim
+        base = s0.physics.qpos[-nact:] * 0.0
+        acts = base[None, None, :] + 0.3 * jax.random.normal(
+            jax.random.key(1), (n, h, nact))
+        c_ref = np.asarray(
+            jax.jit(lambda a: mpc_objective(env, s0)(None, a))(acts))
+        c_pal = np.asarray(jax.jit(
+            lambda a: pallas_mpc_objective(env, s0, h, block=128)(None, a))
+            (acts))
+        np.testing.assert_allclose(c_pal, c_ref, rtol=1e-3, atol=1e-3)
