@@ -125,6 +125,22 @@ class Cheetah:
         reward = forward_vel - ctrl_cost
         return state.replace(physics=phys, t=state.t + 1), reward
 
+    # ---- scalar-SoA kernel contract (pallas_rollout) ------------------
+    scalar_reward_takes_action = True
+
+    def scalar_torque(self, m, q, qd, act):
+        lim = self.max_torque
+        tau = [jnp.zeros_like(q[0])] * 3
+        tau += [jnp.clip(act[j], -lim, lim) for j in range(self.action_dim)]
+        return tuple(tau)
+
+    def scalar_reward(self, m, q, qd, act):
+        lim = self.max_torque
+        ctrl = sum(jnp.clip(act[j], -lim, lim) ** 2
+                   for j in range(self.action_dim)) \
+            / (self.action_dim * lim * lim)
+        return qd[0] - 0.1 * ctrl
+
     def observe(self, state):
         q, qd = state.physics.qpos, state.physics.qvel
         # x position excluded (translation-invariant observation, gym style)

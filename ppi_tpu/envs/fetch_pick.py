@@ -22,6 +22,7 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from ppi_tpu.envs.physics import PhysicsState
@@ -73,11 +74,11 @@ class FetchPickAndPlace:
 
     @property
     def action_low(self):
-        return jnp.array([-1.5, -1.2, -2.0, -2.0, -1.1, -0.6])
+        return np.array([-1.5, -1.2, -2.0, -2.0, -1.1, -0.6])
 
     @property
     def action_high(self):
-        return jnp.array([1.5, 1.2, 2.0, 2.0, 0.6, 1.1])
+        return np.array([1.5, 1.2, 2.0, 2.0, 0.6, 1.1])
 
     def sample_goal(self, key):
         """Fetch sampling: xy about the object start; in the air with
@@ -134,6 +135,45 @@ class FetchPickAndPlace:
                   + 10.0 * (carry < 2 * SUCCESS_RADIUS)
                   + 20.0 * (carry < SUCCESS_RADIUS))
         return state.replace(physics=phys, t=state.t + 1), reward
+
+    # ---- scalar-SoA kernel contract (pallas_rollout) ------------------
+    def scalar_torque(self, m, q, qd, act):
+        lo = [float(x) for x in self.action_low]
+        hi = [float(x) for x in self.action_high]
+        kps = [self.kp] * 4 + [self.kp_finger] * 2
+        kds = [self.kd] * 4 + [self.kd_finger] * 2
+        tau = [kps[j] * (jnp.clip(act[j], lo[j], hi[j]) - q[j])
+               - kds[j] * qd[j] for j in range(6)]
+        tau += [jnp.zeros_like(q[0])] * 3  # free ball
+        return tuple(tau)
+
+    def scalar_reward_consts(self, state):
+        return state.target
+
+    def scalar_reward(self, m, q, qd, consts):
+        from ppi_tpu.envs.physics.engine_soa import fk_soa, geom_point_soa
+        gx, gy, gz = consts
+        rots, poss, _, _ = fk_soa(m, q)
+        palm = geom_point_soa(m, rots, poss, self._palm_geom)
+        tips = [geom_point_soa(m, rots, poss, g) for g in self._tip_geoms]
+        n = float(len(tips))
+        grasp = tuple(0.5 * (sum(t[i] for t in tips) / n + palm[i])
+                      for i in range(3))
+        ball = geom_point_soa(m, rots, poss, self._ball_geom)
+        reach = jnp.sqrt((grasp[0] - ball[0]) ** 2 + (grasp[1] - ball[1]) ** 2
+                         + (grasp[2] - ball[2]) ** 2)
+        carry = jnp.sqrt((ball[0] - gx) ** 2 + (ball[1] - gy) ** 2
+                         + (ball[2] - gz) ** 2)
+        g2t = jnp.sqrt((grasp[0] - gx) ** 2 + (grasp[1] - gy) ** 2
+                       + (grasp[2] - gz) ** 2)
+        lifted = ball[2] > TABLE_Z + BALL_RADIUS + 0.015
+        vel2 = sum(qd[j] * qd[j] for j in range(6))
+        return (-0.1 * reach
+                - 0.5 * carry
+                + lifted * (0.5 - 0.5 * g2t)
+                - 1e-4 * vel2
+                + 10.0 * (carry < 2 * SUCCESS_RADIUS)
+                + 20.0 * (carry < SUCCESS_RADIUS))
 
     def observe(self, state):
         q, qd = state.physics.qpos, state.physics.qvel

@@ -96,6 +96,20 @@ class FingerSpin:
             (tau_f / self.max_torque) ** 2)
         return state.replace(physics=phys, t=state.t + 1), reward
 
+    # ---- scalar-SoA kernel contract (pallas_rollout) ------------------
+    scalar_reward_takes_action = True
+
+    def scalar_torque(self, m, q, qd, act):
+        lim = self.max_torque
+        return (jnp.clip(act[0], -lim, lim), jnp.clip(act[1], -lim, lim),
+                jnp.zeros_like(q[0]))
+
+    def scalar_reward(self, m, q, qd, act):
+        lim = self.max_torque
+        ctrl = sum(jnp.clip(act[j], -lim, lim) ** 2
+                   for j in range(2)) / (lim * lim)
+        return jnp.clip(qd[SPINNER] / 5.0, -1.0, 1.0) - 0.01 * ctrl
+
     def observe(self, state):
         q, qd = state.physics.qpos, state.physics.qvel
         return jnp.concatenate([

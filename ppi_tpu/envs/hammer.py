@@ -96,11 +96,11 @@ class Hammer:
 
     @property
     def action_low(self):
-        return jnp.array([-1.5, -1.2, -2.0, -2.0])
+        return np.array([-1.5, -1.2, -2.0, -2.0])
 
     @property
     def action_high(self):
-        return jnp.array([1.5, 1.2, 2.0, 2.0])
+        return np.array([1.5, 1.2, 2.0, 2.0])
 
     def reset(self, key):
         del key
@@ -133,6 +133,30 @@ class Hammer:
                   + 2.0 * (depth > 0.5 * NAIL_DEPTH)
                   + 10.0 * (depth > 0.95 * NAIL_DEPTH))
         return state.replace(physics=phys, t=state.t + 1), reward
+
+    # ---- scalar-SoA kernel contract (pallas_rollout) ------------------
+    def scalar_torque(self, m, q, qd, act):
+        lo = np.asarray(self.action_low)
+        hi = np.asarray(self.action_high)
+        tau = [self.kp * (jnp.clip(act[j], float(lo[j]), float(hi[j]))
+                          - q[j]) - self.kd * qd[j] for j in range(4)]
+        tau.append(jnp.zeros_like(q[0]))  # free nail slide
+        return tuple(tau)
+
+    def scalar_reward(self, m, q, qd):
+        from ppi_tpu.envs.physics.engine_soa import fk_soa, geom_point_soa
+        rots, poss, _, _ = fk_soa(m, q)
+        head = geom_point_soa(m, rots, poss, self._head_geom)
+        nail = geom_point_soa(m, rots, poss, self._nail_geoms[0])
+        dist = jnp.sqrt((head[0] - nail[0]) ** 2 + (head[1] - nail[1]) ** 2
+                        + (head[2] - nail[2]) ** 2)
+        depth = q[NAIL]
+        vel2 = sum(qd[j] * qd[j] for j in range(5))
+        return (-0.5 * dist
+                + 50.0 * depth
+                - 1e-3 * vel2
+                + 2.0 * (depth > 0.5 * NAIL_DEPTH)
+                + 10.0 * (depth > 0.95 * NAIL_DEPTH))
 
     def observe(self, state):
         q, qd = state.physics.qpos, state.physics.qvel

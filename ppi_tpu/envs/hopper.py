@@ -107,6 +107,24 @@ class Hopper:
                   - 0.05 * jnp.mean((tau_leg / self.max_torque) ** 2))
         return state.replace(physics=phys, t=state.t + 1), reward
 
+    # ---- scalar-SoA kernel contract (pallas_rollout) ------------------
+    scalar_reward_takes_action = True
+
+    def scalar_torque(self, m, q, qd, act):
+        lim = self.max_torque
+        tau = [jnp.zeros_like(q[0])] * 3
+        tau += [jnp.clip(act[j], -lim, lim) for j in range(self.action_dim)]
+        return tuple(tau)
+
+    def scalar_reward(self, m, q, qd, act):
+        lim = self.max_torque
+        ctrl = sum(jnp.clip(act[j], -lim, lim) ** 2
+                   for j in range(self.action_dim)) \
+            / (self.action_dim * lim * lim)
+        z = q[1] + TORSO_Z0
+        healthy = ((z > 0.7) & (jnp.abs(q[2]) < 0.6)).astype(jnp.float32)
+        return qd[0] + healthy - 2.0 * (1.0 - healthy) - 0.05 * ctrl
+
     def observe(self, state):
         q, qd = state.physics.qpos, state.physics.qvel
         return jnp.concatenate([q[1:], qd])

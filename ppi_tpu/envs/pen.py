@@ -191,6 +191,41 @@ class Pen:
                   - 5.0 * dropped)
         return state.replace(physics=phys, t=state.t + 1), reward
 
+    # ---- scalar-SoA kernel contract (pallas_rollout) ------------------
+    def scalar_torque(self, m, q, qd, act):
+        tau = [jnp.zeros_like(q[0])] * A_Y
+        for j in range(self.action_dim):
+            tgt = jnp.clip(act[j], -0.12, 0.12)
+            tau.append(self.kp * (tgt - q[A_Y + j]) - self.kd * qd[A_Y + j])
+        return tuple(tau)
+
+    def scalar_reward_consts(self, state):
+        return state.target_axis
+
+    def scalar_reward(self, m, q, qd, consts):
+        from ppi_tpu.envs.physics.engine_soa import fk_soa, geom_point_soa
+        tx, ty, tz = consts
+        rots, poss, _, _ = fk_soa(m, q)
+        ea = geom_point_soa(m, rots, poss, self._end_geoms[0])
+        eb = geom_point_soa(m, rots, poss, self._end_geoms[1])
+        cx = 0.5 * (ea[0] + eb[0])
+        cy = 0.5 * (ea[1] + eb[1])
+        cz = 0.5 * (ea[2] + eb[2])
+        dx, dy, dz = ea[0] - eb[0], ea[1] - eb[1], ea[2] - eb[2]
+        norm = jnp.sqrt(dx * dx + dy * dy + dz * dz) + 1e-9
+        ax, ay, az = dx / norm, dy / norm, dz / norm
+        hx, hy, hz = HOLD_POS
+        dist = jnp.sqrt((cx - hx) ** 2 + (cy - hy) ** 2 + (cz - hz) ** 2)
+        similarity = ax * tx + ay * ty + az * tz
+        dropped = cz < hz - 0.15
+        vel2 = sum(qd[j] * qd[j] for j in range(5))
+        return (-1.0 * dist
+                + similarity
+                - 1e-3 * vel2
+                + 10.0 * ((similarity > 0.90) & (dist < 0.075))
+                + 50.0 * ((similarity > 0.95) & (dist < 0.075))
+                - 5.0 * dropped)
+
     def observe(self, state):
         q, qd = state.physics.qpos, state.physics.qvel
         centre, axis = self._pen_pose(q)

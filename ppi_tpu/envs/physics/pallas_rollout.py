@@ -23,6 +23,10 @@ Env contract (duck-typed, see ``ppi_tpu.envs.door`` for the flagship):
     reward constants (e.g. the SAMPLED goal of pen/relocate/fetch); when
     present, ``scalar_reward(m, q, qd, consts)`` receives them as a tuple
     of kernel scalars read from VMEM
+  * optional ``env.scalar_reward_takes_action = True`` — the reward needs
+    the step's action (control-cost shapes: gym locomotion / standup);
+    ``scalar_reward(m, q, qd, act[, consts])`` then receives the raw action
+    tuple ahead of any consts
 
 Semantics match ``envs.base.rollout(guard=True)`` exactly: a lane whose
 state goes non-finite has its reward latched to NaN from that step on, which
@@ -49,6 +53,7 @@ def _round_up(x: int, m: int) -> int:
 def make_pallas_rollout(model, dt: float, substeps: int, horizon: int,
                         action_dim: int, torque_fn, reward_fn,
                         project_fn=None, n_consts: int = 0,
+                        reward_takes_action: bool = False,
                         block: int = 1024, interpret: bool = False):
     """Build ``(q0 (N,nq), qd0 (N,nq), actions (N,H,da)) ->
     (rewards (N,H), qpos_f (N,nq), qvel_f (N,nq))`` with the whole rollout
@@ -63,10 +68,18 @@ def make_pallas_rollout(model, dt: float, substeps: int, horizon: int,
     ``n_consts > 0`` the returned runner takes a trailing ``(n_consts,)``
     array of per-episode reward constants (the sampled goal) and
     ``reward_fn(m, q, qd, consts)`` receives them as a tuple of scalars.
+    With ``reward_takes_action`` the step's raw action tuple is passed
+    ahead of the consts: ``reward_fn(m, q, qd, act[, consts])``.
     """
     m = SoaModel(model)
     nq = m.nq
     h = dt / substeps
+
+    def call_reward(q, qd, act, consts):
+        extra = (act,) if reward_takes_action else ()
+        if consts is not None:
+            extra = extra + (consts,)
+        return reward_fn(m, q, qd, *extra)
 
     def kernel(q0_ref, qd0_ref, act_ref, *rest):
         if n_consts:
@@ -102,8 +115,7 @@ def make_pallas_rollout(model, dt: float, substeps: int, horizon: int,
                 jnp.logical_and,
                 [jnp.isfinite(x) for x in q + qd])
             bad = jnp.maximum(bad, 1.0 - fin.astype(jnp.float32))
-            r = reward_fn(m, q, qd) if consts is None else \
-                reward_fn(m, q, qd, consts)
+            r = call_reward(q, qd, act, consts)
             r = jnp.where(bad > 0.0, jnp.nan, r)
             rew_ref[pl.ds(t, 1), :] = r[None, :]
             return (q, qd, bad)
@@ -197,6 +209,8 @@ def pallas_mpc_objective(env, state0, horizon: int, horizon_mask=None,
                               project_fn=getattr(env, "scalar_project", None),
                               n_consts=0 if consts is None
                               else int(consts.shape[0]),
+                              reward_takes_action=getattr(
+                                  env, "scalar_reward_takes_action", False),
                               block=block, interpret=interpret)
     q0 = state0.physics.qpos
     qd0 = state0.physics.qvel

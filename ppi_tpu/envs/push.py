@@ -99,11 +99,11 @@ class FetchPush:
 
     @property
     def action_low(self):
-        return jnp.array([-1.5, -1.2, -2.0, -2.0])
+        return np.array([-1.5, -1.2, -2.0, -2.0])
 
     @property
     def action_high(self):
-        return jnp.array([1.5, 1.2, 2.0, 2.0])
+        return np.array([1.5, 1.2, 2.0, 2.0])
 
     def sample_goal(self, key):
         """Tabletop goal = box start + U(-range, range)^2, radially pushed
@@ -146,6 +146,34 @@ class FetchPush:
                   + 5.0 * (d_target < self.success_radius)
                   - 1e-3 * jnp.sum(qvel ** 2))
         return state.replace(physics=phys, t=state.t + 1), reward
+
+    # ---- scalar-SoA kernel contract (pallas_rollout) ------------------
+    def scalar_torque(self, m, q, qd, act):
+        lo = np.asarray(self.action_low)
+        hi = np.asarray(self.action_high)
+        tau = [self.kp * (jnp.clip(act[j], float(lo[j]), float(hi[j]))
+                          - q[j]) - self.kd * qd[j] for j in range(4)]
+        tau += [jnp.zeros_like(q[0])] * 2  # box slides
+        return tuple(tau)
+
+    def scalar_reward_consts(self, state):
+        return state.target
+
+    def scalar_reward(self, m, q, qd, consts):
+        from ppi_tpu.envs.physics.engine_soa import fk_soa, geom_point_soa
+        tx, ty = consts
+        rots, poss, _, _ = fk_soa(m, q)
+        palm = geom_point_soa(m, rots, poss, self._palm_geom)
+        box = geom_point_soa(m, rots, poss, self._box_geom)
+        bx = BOX_START[0] + q[BOX_X]
+        by = BOX_START[1] + q[BOX_Y]
+        d_target = jnp.sqrt((bx - tx) ** 2 + (by - ty) ** 2)
+        d_reach = jnp.sqrt((palm[0] - box[0]) ** 2 + (palm[1] - box[1]) ** 2
+                           + (palm[2] - box[2]) ** 2)
+        vel2 = sum(qd[j] * qd[j] for j in range(6))
+        return (-2.0 * d_target - 0.25 * d_reach
+                + 5.0 * (d_target < self.success_radius)
+                - 1e-3 * vel2)
 
     def observe(self, state):
         q, qd = state.physics.qpos, state.physics.qvel

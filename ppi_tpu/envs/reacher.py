@@ -72,6 +72,24 @@ class Reacher:
         reward = -dist - 0.01 * jnp.sum(action ** 2)
         return state.replace(physics=phys, t=state.t + 1), reward
 
+    # ---- scalar-SoA kernel contract (pallas_rollout) ------------------
+    scalar_reward_takes_action = True
+
+    def scalar_torque(self, m, q, qd, act):
+        lim = self.max_torque
+        return tuple(jnp.clip(act[j], -lim, lim) for j in range(2))
+
+    def scalar_reward_consts(self, state):
+        return state.target
+
+    def scalar_reward(self, m, q, qd, act, consts):
+        tx, ty = consts
+        x = 0.2 * jnp.cos(q[0]) + 0.2 * jnp.cos(q[0] + q[1])
+        y = 0.2 * jnp.sin(q[0]) + 0.2 * jnp.sin(q[0] + q[1])
+        dist = jnp.sqrt((x - tx) ** 2 + (y - ty) ** 2)
+        # env.step penalizes the RAW action (pre-clip), matching here
+        return -dist - 0.01 * (act[0] ** 2 + act[1] ** 2)
+
     def observe(self, state):
         return jnp.concatenate([
             jnp.cos(state.physics.qpos), jnp.sin(state.physics.qpos),

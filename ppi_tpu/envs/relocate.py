@@ -151,11 +151,11 @@ class Relocate:
 
     @property
     def action_low(self):
-        return jnp.array([-1.5, -1.2, -2.0, -2.0, -1.1, -0.6])
+        return np.array([-1.5, -1.2, -2.0, -2.0, -1.1, -0.6])
 
     @property
     def action_high(self):
-        return jnp.array([1.5, 1.2, 2.0, 2.0, 0.6, 1.1])
+        return np.array([1.5, 1.2, 2.0, 2.0, 0.6, 1.1])
 
     @property
     def target(self):
@@ -214,6 +214,48 @@ class Relocate:
                   + 10.0 * (carry < 0.1)
                   + 20.0 * (carry < 0.05))
         return state.replace(physics=phys, t=state.t + 1), reward
+
+    # ---- scalar-SoA kernel contract (pallas_rollout) ------------------
+    def scalar_torque(self, m, q, qd, act):
+        lo = np.asarray(self.action_low)
+        hi = np.asarray(self.action_high)
+        kps = [self.kp] * 4 + [self.kp_finger] * 2
+        kds = [self.kd] * 4 + [self.kd_finger] * 2
+        tau = [kps[j] * (jnp.clip(act[j], float(lo[j]), float(hi[j]))
+                         - q[j]) - kds[j] * qd[j] for j in range(6)]
+        tau += [jnp.zeros_like(q[0])] * 3  # free ball
+        return tuple(tau)
+
+    def scalar_reward_consts(self, state):
+        return state.target
+
+    def _scalar_sites(self, m, q):
+        from ppi_tpu.envs.physics.engine_soa import fk_soa, geom_point_soa
+        rots, poss, _, _ = fk_soa(m, q)
+        palm = geom_point_soa(m, rots, poss, self._palm_geom)
+        tips = [geom_point_soa(m, rots, poss, g) for g in self._tip_geoms]
+        n = float(len(tips))
+        grasp = tuple(0.5 * (sum(t[i] for t in tips) / n + palm[i])
+                      for i in range(3))
+        ball = geom_point_soa(m, rots, poss, self._ball_geom)
+        return grasp, ball
+
+    def scalar_reward(self, m, q, qd, consts):
+        gx, gy, gz = consts
+        grasp, ball = self._scalar_sites(m, q)
+        reach = jnp.sqrt((grasp[0] - ball[0]) ** 2 + (grasp[1] - ball[1]) ** 2
+                         + (grasp[2] - ball[2]) ** 2)
+        carry = jnp.sqrt((ball[0] - gx) ** 2 + (ball[1] - gy) ** 2
+                         + (ball[2] - gz) ** 2)
+        g2t = jnp.sqrt((grasp[0] - gx) ** 2 + (grasp[1] - gy) ** 2
+                       + (grasp[2] - gz) ** 2)
+        lifted = ball[2] > TABLE_Z + BALL_RADIUS + 0.015
+        vel2 = sum(qd[j] * qd[j] for j in range(6))
+        return (-0.1 * reach
+                + lifted * (1.0 - 0.5 * g2t - 0.5 * carry)
+                - 1e-4 * vel2
+                + 10.0 * (carry < 0.1)
+                + 20.0 * (carry < 0.05))
 
     def observe(self, state):
         q, qd = state.physics.qpos, state.physics.qvel

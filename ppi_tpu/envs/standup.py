@@ -137,6 +137,26 @@ class HumanoidStandup:
                   - 1e-3 * jnp.sum(qvel ** 2))
         return state.replace(physics=phys, t=state.t + 1), reward
 
+    # ---- scalar-SoA kernel contract (pallas_rollout) ------------------
+    scalar_reward_takes_action = True
+
+    def scalar_torque(self, m, q, qd, act):
+        lim = self.max_torque
+        tau = [jnp.zeros_like(q[0])] * HIP
+        tau += [jnp.clip(act[j], -lim, lim) for j in range(self.action_dim)]
+        return tuple(tau)
+
+    def scalar_reward(self, m, q, qd, act):
+        from ppi_tpu.envs.physics.engine_soa import fk_soa, geom_point_soa
+        rots, poss, _, _ = fk_soa(m, q)
+        head_z = geom_point_soa(m, rots, poss, self._head_geom)[2]
+        lim = self.max_torque
+        ctrl = sum(jnp.clip(act[j], -lim, lim) ** 2
+                   for j in range(self.action_dim)) \
+            / (self.action_dim * lim * lim)
+        vel2 = sum(qd[j] * qd[j] for j in range(NQ))
+        return head_z / 0.3 - 0.1 * ctrl - 1e-3 * vel2
+
     def observe(self, state):
         q, qd = state.physics.qpos, state.physics.qvel
         return jnp.concatenate([q[1:], qd,

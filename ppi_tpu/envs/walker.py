@@ -112,6 +112,24 @@ class Walker:
                   - 0.05 * jnp.mean((tau_leg / self.max_torque) ** 2))
         return state.replace(physics=phys, t=state.t + 1), reward
 
+    # ---- scalar-SoA kernel contract (pallas_rollout) ------------------
+    scalar_reward_takes_action = True
+
+    def scalar_torque(self, m, q, qd, act):
+        lim = self.max_torque
+        tau = [jnp.zeros_like(q[0])] * 3
+        tau += [jnp.clip(act[j], -lim, lim) for j in range(self.action_dim)]
+        return tuple(tau)
+
+    def scalar_reward(self, m, q, qd, act):
+        lim = self.max_torque
+        ctrl = sum(jnp.clip(act[j], -lim, lim) ** 2
+                   for j in range(self.action_dim)) \
+            / (self.action_dim * lim * lim)
+        z = q[1] + TORSO_Z0
+        healthy = ((z > 0.8) & (jnp.abs(q[2]) < 0.8)).astype(jnp.float32)
+        return qd[0] + healthy - 2.0 * (1.0 - healthy) - 0.05 * ctrl
+
     def observe(self, state):
         q, qd = state.physics.qpos, state.physics.qvel
         return jnp.concatenate([q[1:], qd])
@@ -157,3 +175,16 @@ class WalkerWalk(Walker):
                           margin=self.walk_speed / 2.0, value_at_margin=0.5)
         reward = stand_reward * (5.0 * move + 1.0) / 6.0
         return state.replace(physics=phys, t=state.t + 1), reward
+
+    def scalar_reward(self, m, q, qd, act):
+        # dm_control shaping has no control cost; ``act`` is unused but the
+        # inherited ``scalar_reward_takes_action`` keeps one signature
+        del act
+        z = q[1] + TORSO_Z0
+        upright = jnp.cos(q[2])
+        standing = _tolerance(z, self.stand_height, jnp.inf,
+                              margin=self.stand_height / 2.0)
+        stand_reward = standing * (1.0 + jnp.maximum(upright, 0.0)) / 2.0
+        move = _tolerance(qd[0], self.walk_speed, jnp.inf,
+                          margin=self.walk_speed / 2.0, value_at_margin=0.5)
+        return stand_reward * (5.0 * move + 1.0) / 6.0

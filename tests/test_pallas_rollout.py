@@ -199,3 +199,84 @@ class TestRewardConsts:
             lambda a: pallas_mpc_objective(env, s0, h, block=128)(None, a))
             (acts))
         np.testing.assert_allclose(c_pal, c_ref, rtol=1e-3, atol=1e-3)
+
+
+class TestZooKernelsMatchOracle:
+    """Every small-DoF env with a scalar kernel, cross-validated in
+    interpret mode. reacher exercises the combined action+consts path
+    (the only env whose reward needs both the raw action and the sampled
+    goal); 9-DoF envs are device-validated in the classes above."""
+
+    @pytest.mark.parametrize("env_name", ["reacher", "finger~spin",
+                                          "hammer-v0", "fetch-push"])
+    def test_matches_oracle(self, env_name):
+        from ppi_tpu.runners.run_mpc import ENVS
+        env = ENVS[env_name]()
+        s0 = env.reset(jax.random.key(3))
+        h, n = 3, 8
+        acts = 0.3 * jax.random.normal(jax.random.key(4),
+                                       (n, h, env.action_dim))
+        c_ref = np.asarray(mpc_objective(env, s0)(None, acts))
+        c_pal = np.asarray(
+            pallas_mpc_objective(env, s0, h, block=128,
+                                 interpret=INTERPRET)(None, acts))
+        np.testing.assert_allclose(c_pal, c_ref, rtol=1e-4, atol=1e-4)
+
+    @pytest.mark.skipif(INTERPRET, reason="9 DoF scalar-SoA kernels "
+                        "compile slowly on CPU; device-validated "
+                        "(make perf / PPI_TPU_TEST_PLATFORM=axon)")
+    @pytest.mark.parametrize("env_name", ["pen-v0", "relocate-v0",
+                                          "fetch-pick"])
+    def test_sampled_goal_kernels_match_oracle_on_device(self, env_name):
+        from ppi_tpu.runners.run_mpc import ENVS
+        env = ENVS[env_name]()
+        s0 = env.reset(jax.random.key(0))
+        h, n = 4, 256
+        acts = 0.3 * jax.random.normal(jax.random.key(1),
+                                       (n, h, env.action_dim))
+        c_ref = np.asarray(
+            jax.jit(lambda a: mpc_objective(env, s0)(None, a))(acts))
+        c_pal = np.asarray(jax.jit(
+            lambda a: pallas_mpc_objective(env, s0, h, block=128)(None, a))
+            (acts))
+        np.testing.assert_allclose(c_pal, c_ref, rtol=1e-3, atol=1e-3)
+
+
+class TestRewardTakesAction:
+    """Action-dependent rewards in the kernel (gym control-cost shapes):
+    ``scalar_reward_takes_action`` routes the step's raw action tuple into
+    reward_fn; cross-validated against the scan oracle per env."""
+
+    def test_hopper_matches_oracle(self):
+        from ppi_tpu.envs.hopper import Hopper
+        env = Hopper()
+        h, n = 4, 8
+        s0, q0, qd0 = _batched_state0(env, n)
+        acts = 0.5 * env.max_torque * jax.random.normal(
+            jax.random.key(7), (n, h, env.action_dim))
+        _, rew_ref = batch_rollout(env, s0, acts)
+        f = pallas_mpc_objective(env, s0, h, block=128, interpret=INTERPRET)
+        costs = f(None, acts)
+        np.testing.assert_allclose(
+            np.asarray(costs), -np.asarray(rew_ref).sum(axis=1),
+            rtol=1e-4, atol=1e-4)
+
+    @pytest.mark.skipif(INTERPRET, reason="8-9 DoF scalar-SoA kernels "
+                        "compile slowly on CPU; device-validated "
+                        "(make perf / PPI_TPU_TEST_PLATFORM=axon)")
+    @pytest.mark.parametrize("env_name", ["cheetah", "walker2d",
+                                          "walker~walk",
+                                          "humanoid-standup"])
+    def test_gym_env_kernels_match_oracle_on_device(self, env_name):
+        from ppi_tpu.runners.run_mpc import ENVS
+        env = ENVS[env_name]()
+        s0 = env.reset(jax.random.key(0))
+        h, n = 4, 256
+        acts = 0.5 * env.max_torque * jax.random.normal(
+            jax.random.key(1), (n, h, env.action_dim))
+        c_ref = np.asarray(
+            jax.jit(lambda a: mpc_objective(env, s0)(None, a))(acts))
+        c_pal = np.asarray(jax.jit(
+            lambda a: pallas_mpc_objective(env, s0, h, block=128)(None, a))
+            (acts))
+        np.testing.assert_allclose(c_pal, c_ref, rtol=1e-3, atol=1e-3)
