@@ -1,0 +1,147 @@
+"""MPC success *rate* over sampled episode goals.
+
+mj_envs pen-v0 / relocate-v0 and gymnasium-robotics Fetch sample the task
+goal per episode (reference: run_mpc.py:41-47 env zoo + the mj_envs /
+gym-robotics reset distributions); success on a single fixed goal is a
+weaker claim than success on the task distribution (VERDICT r2 next #3).
+This runner measures the distributional claim: N full closed-loop MPC
+episodes of the env's canonical solver config, each with a fresh reset key
+(=> a fresh sampled goal), run as ONE compiled vmapped program (the
+seed/goal axis rides the spare VPU lanes — see the roofline analysis in
+RESULTS.md), reporting per-episode success and the success rate.
+
+    python -m ppi_tpu.runners.goal_success --env pen-v0-hand --resets 5 \
+        --dir results/goals
+"""
+
+import argparse
+import json
+from pathlib import Path
+
+import numpy as np
+
+# canonical per-env MPC configurations for the goal-sampled envs (the same
+# configs RESULTS.md reports single-episode successes for)
+CONFIGS = {
+    "pen-v0": dict(alg="Lbps", policy="SquaredExponentialKernel",
+                   lengthscale=0.08, delta=0.9, n_iters=2, anneal=0.5,
+                   timesteps=100, horizon=15, n_samples=96),
+    "pen-v0-hand": dict(alg="Lbps", policy="SquaredExponentialKernel",
+                        lengthscale=0.08, delta=0.9, n_iters=2, anneal=0.5,
+                        timesteps=100, horizon=15, n_samples=96),
+    "relocate-v0": dict(alg="Mppi", policy="ColouredNoise", beta=2.0,
+                        alpha=10.0, anneal=0.9, timesteps=140, horizon=20,
+                        n_samples=256),
+    "relocate-v0-hand": dict(alg="Mppi", policy="ColouredNoise", beta=2.0,
+                             alpha=10.0, anneal=0.9, timesteps=140,
+                             horizon=20, n_samples=256),
+    "fetch-push": dict(alg="Mppi", policy="ColouredNoise", beta=2.0,
+                       alpha=10.0, anneal=0.9, timesteps=120, horizon=20,
+                       n_samples=256),
+    "fetch-pick": dict(alg="Mppi", policy="ColouredNoise", beta=2.0,
+                       alpha=10.0, anneal=0.9, timesteps=140, horizon=20,
+                       n_samples=256),
+}
+
+
+def run(env_name: str, resets: int, warmstart: int = 50, overrides=None,
+        base_key: int = 0):
+    """Vmapped goal sweep; returns a JSON-serializable summary dict."""
+    import jax
+    import jax.numpy as jnp
+
+    from ppi_tpu.algorithms import make_solver
+    from ppi_tpu.mpc import Mpc
+    from ppi_tpu.policies import design_moments, make_policy
+    from ppi_tpu.runners.run_mpc import ENVS
+
+    cfg = dict(CONFIGS[env_name])
+    cfg.update(overrides or {})
+    env = ENVS[env_name]()
+    fam, pol = make_policy(
+        cfg["policy"], env.dt * jnp.arange(cfg["horizon"]), env.action_dim,
+        *design_moments(env.action_low, env.action_high, ratio=1000.0),
+        lengthscale=cfg.get("lengthscale", 1.0), beta=cfg.get("beta", 2.0),
+        lower=env.action_low, upper=env.action_high)
+    solver = make_solver(cfg["alg"], alpha=cfg.get("alpha", 10.0),
+                         delta=cfg.get("delta", 0.9),
+                         n_elites=cfg.get("n_elites", 10))
+    agent = Mpc(env=env, solver=solver, family=fam,
+                timesteps=cfg["timesteps"], horizon=cfg["horizon"],
+                n_samples=cfg["n_samples"],
+                n_iters=cfg.get("n_iters", 1),
+                anneal=cfg.get("anneal", 1.0))
+
+    def one_episode(key):
+        k_pol, k_env = jax.random.split(key)
+        carry = agent.init(pol, k_pol)
+        es = env.reset(k_env)  # <- fresh sampled goal per episode
+        carry, _ = agent.warm_start(carry, es, n_iters=warmstart)
+        carry, es_f, track = agent.run_episode_scan(carry, es,
+                                                    collect=False)
+        field = _goal_field(env_name)
+        return (track["reward"].sum(), env.success(es_f),
+                getattr(es, field), getattr(es_f, field))
+
+    keys = jax.random.split(jax.random.key(base_key), resets)
+    returns, succ, goals0, goals_f = jax.jit(jax.vmap(one_episode))(keys)
+    goals = np.asarray(goals0)
+    assert np.allclose(goals, np.asarray(goals_f)), \
+        "episode goal must be constant within an episode"
+    # sampled goals must actually differ across episodes
+    spread = float(np.max(np.ptp(goals.reshape(resets, -1), axis=0)))
+    episodes = [
+        {"reset": i, "return": float(returns[i]),
+         "success": bool(np.asarray(succ[i])),
+         "goal": goals.reshape(resets, -1)[i].round(4).tolist()}
+        for i in range(resets)
+    ]
+    return {
+        "env": env_name, "config": {k: v for k, v in cfg.items()},
+        "resets": resets, "goal_spread": round(spread, 4),
+        "success_rate": float(np.mean(np.asarray(succ, dtype=np.float64))),
+        "mean_return": float(np.mean(np.asarray(returns))),
+        "episodes": episodes,
+    }
+
+
+def _goal_field(env_name: str) -> str:
+    return "target_axis" if env_name.startswith("pen") else "target"
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--env", choices=sorted(CONFIGS), required=True)
+    p.add_argument("--resets", type=int, default=5)
+    p.add_argument("--warmstart", type=int, default=50)
+    p.add_argument("--n-samples", type=int, default=None)
+    p.add_argument("--timesteps", type=int, default=None)
+    p.add_argument("--horizon", type=int, default=None)
+    p.add_argument("--key", type=int, default=0)
+    p.add_argument("--dir", type=str, default=None)
+    args = p.parse_args(argv)
+    overrides = {}
+    if args.n_samples is not None:
+        overrides["n_samples"] = args.n_samples
+    if args.timesteps is not None:
+        overrides["timesteps"] = args.timesteps
+    if args.horizon is not None:
+        overrides["horizon"] = args.horizon
+    summary = run(args.env, args.resets, warmstart=args.warmstart,
+                  overrides=overrides, base_key=args.key)
+    for ep in summary["episodes"]:
+        print(f"[{args.env}] reset {ep['reset']}: return "
+              f"{ep['return']:.1f} success {ep['success']}")
+    print(f"[{args.env}] success rate {summary['success_rate']:.2f} over "
+          f"{args.resets} sampled goals (goal spread {summary['goal_spread']})")
+    if args.dir is not None:
+        out = Path(args.dir)
+        out.mkdir(parents=True, exist_ok=True)
+        path = out / f"{args.env}_goals.json"
+        path.write_text(json.dumps(summary, indent=1))
+        print(f"wrote {path}")
+    return summary
+
+
+if __name__ == "__main__":
+    main()

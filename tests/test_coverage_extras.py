@@ -80,3 +80,21 @@ class TestSweepGrid:
         cmds = captured["commands"]
         assert len(cmds) == 5 * 2  # 5 algorithms x 2 seeds
         assert all("--seed" in c and "NoisySphere" in c for c in cmds)
+
+
+class TestGoalSuccessRunner:
+    def test_vmapped_goal_sweep_tiny(self, tmp_path):
+        """Sampled-goal MPC success-rate runner (VERDICT r2 next #3): two
+        resets must draw two different goals, the goal must stay constant
+        within each episode, and the summary must serialize."""
+        from ppi_tpu.runners import goal_success as gs
+
+        summary = gs.run("fetch-push", resets=2, warmstart=1,
+                         overrides=dict(timesteps=3, horizon=5, n_samples=8))
+        assert summary["resets"] == 2
+        assert 0.0 <= summary["success_rate"] <= 1.0
+        assert summary["goal_spread"] > 0.0  # goals actually sampled
+        assert len(summary["episodes"]) == 2
+        import json
+
+        json.dumps(summary)  # JSON-serializable end to end
