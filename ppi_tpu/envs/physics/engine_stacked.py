@@ -1,0 +1,244 @@
+"""Stacked-assembly variant of the scalar-SoA dynamics — the compile-time
+fast path for high-DoF scenes.
+
+The pure scalar-SoA pipeline (``engine_soa``) emits O(nq^2)-O(nq^3)
+*individual scalar HLO ops* for the Jacobian / mass-matrix / rhs / linear
+-solve assemblies (~15-20k ops per substep at 12-13 DoF).  XLA's pass
+pipeline is superlinear in graph size, which is why the hand-scene graphs
+compile in minutes on TPU and ~18 min on CPU (README known gap; measured
+r2).  This module keeps the parts that are *inherently sequential and
+O(nq)* — forward kinematics and the velocity/acceleration recursions,
+where scalar emission is cheap and fusion-friendly — and replaces every
+quadratic/cubic assembly with a handful of small stacked-array einsums:
+
+  * Jacobians: one broadcasted ``cross`` + ``where`` over a static
+    (nq, nq) ancestor mask instead of nq^2 scalar crosses;
+  * mass matrix: two einsums (translational + rotational) over the
+    stacked Jacobians instead of the ancestor-sparse scalar double loop;
+  * bias/contact generalized forces: einsums against stacked wrenches;
+  * contact pairs: index-array gathers + one vectorized force law per
+    pair type + scatter-adds, instead of per-pair scalar blocks;
+  * linear solve: Gauss-Jordan with a Python loop over pivots but
+    (nq, nq+1)-row vector ops (~4 HLO ops per pivot).
+
+Per-substep graph size drops from ~15k scalar ops to a few hundred, at
+the cost of computing the structurally-zero Jacobian entries (the masks
+make them exact zeros; the extra FLOPs are noise at nq <= 16 on a VPU
+lane).  Numerics are cross-validated against ``engine_soa`` and the
+tensor oracle in tests/test_physics.py.
+
+``engine_soa.make_single_step_soa`` dispatches here for nq >= 8 (where
+the compile-time blowup bites); the Pallas megakernel keeps the pure
+scalar form — Mosaic wants elementwise tuple programs, and its compile
+times were never the problem (RESULTS.md).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ppi_tpu.envs.physics.engine import HINGE, ArticulatedModel
+from ppi_tpu.envs.physics.engine_soa import (
+    SoaModel,
+    fk_soa,
+    velocity_kinematics_soa,
+)
+
+
+def _stack_v3(vs):
+    """List of Vec3 (3-tuples of scalars/consts) -> (n, 3) array."""
+    return jnp.stack([jnp.stack([jnp.asarray(c, jnp.float32) for c in v])
+                      for v in vs])
+
+
+def _stack_m3(ms):
+    """List of flat row-major Mat3 9-tuples -> (n, 3, 3) array."""
+    return jnp.stack([jnp.stack([jnp.asarray(c, jnp.float32)
+                                 for c in r]).reshape(3, 3) for r in ms])
+
+
+class _StackedConsts:
+    """Host-side static arrays shared by every trace of one model."""
+
+    def __init__(self, m: SoaModel):
+        nq = m.nq
+        self.nq = nq
+        anc = np.zeros((nq, nq), np.float32)
+        for b in range(nq):
+            for j in m.ancestors[b]:
+                anc[b, j] = 1.0
+        self.anc = anc                                    # (body, joint)
+        self.hinge = np.array([t == HINGE for t in m.joint_types])
+        self.mass_b = np.array(m.mass, np.float32)
+        self.inertia = np.array([np.reshape(i, (3, 3)) for i in m.inertia],
+                                np.float32)
+        self.armature = np.array(m.armature, np.float32)
+        self.damping = np.array(m.damping, np.float32)
+        self.spring_k = np.array(m.spring_k, np.float32)
+        self.spring_ref = np.array(m.spring_ref, np.float32)
+        self.limit_k = np.array(m.limit_k, np.float32)
+        self.q_lo = np.array([l for l, _ in m.q_limit], np.float32)
+        self.q_hi = np.array([h for _, h in m.q_limit], np.float32)
+        self.friction_loss = np.array(m.friction_loss, np.float32)
+        self.gravity = np.array(m.gravity, np.float32)
+        # spheres
+        self.sphere_body = np.array(m.sphere_body, np.int32)
+        self.sphere_pos = np.array(m.sphere_pos, np.float32).reshape(-1, 3)
+        self.sphere_radius = np.array(m.sphere_radius, np.float32)
+        self.anc_sphere = anc[self.sphere_body] if len(m.sphere_body) \
+            else np.zeros((0, nq), np.float32)            # (sphere, joint)
+        # contact pairs as index arrays
+        self.sp = np.array(m.pair_sphere_plane, np.int32).reshape(-1, 2)
+        self.ss = np.array(m.pair_sphere_sphere, np.int32).reshape(-1, 2)
+        self.sseg = np.array(m.pair_sphere_segment, np.int32).reshape(-1, 3)
+        self.plane_normal = np.array(m.plane_normal, np.float32).reshape(-1, 3)
+        self.plane_offset = np.array(m.plane_offset, np.float32)
+
+
+def _contact_force_stacked(m: SoaModel, delta, rel_vel, normal):
+    """Vectorized penalty + regularized Coulomb force law; (k, 3) arrays.
+    Identical math to engine_soa._contact_force_soa."""
+    v_n = jnp.sum(rel_vel * normal, axis=-1, keepdims=True)
+    fn = jnp.maximum(m.contact_stiffness * delta - m.contact_damping * v_n,
+                     0.0)
+    fn = jnp.where(delta > 0.0, fn, 0.0)
+    v_t = rel_vel - v_n * normal
+    vt_norm = jnp.sqrt(jnp.sum(v_t * v_t, axis=-1, keepdims=True)) + 1e-9
+    ft = jnp.minimum(m.friction_vel_k * vt_norm, m.friction_mu * fn)
+    return fn * normal - (ft / vt_norm) * v_t
+
+
+def forward_dynamics_stacked(m: SoaModel, c: _StackedConsts, q, qd, tau):
+    """Stacked-assembly forward dynamics for ONE sample.
+
+    q, qd, tau: (nq,) arrays. Returns (qdd (nq,), mass_diag (nq,)).
+    Same dynamics as engine_soa.forward_dynamics_soa."""
+    nq = m.nq
+    qt = tuple(q[j] for j in range(nq))
+    qdt = tuple(qd[j] for j in range(nq))
+
+    # sequential O(nq) recursions stay scalar (cheap to trace, fuse well)
+    rots, poss, axes, coms = fk_soa(m, qt)
+    omega, v_o, _, alpha, _, a_c = velocity_kinematics_soa(
+        m, qt, qdt, rots, poss, axes, coms)
+
+    R = _stack_m3(rots)                                   # (nq, 3, 3)
+    P = _stack_v3(poss)
+    A = _stack_v3(axes)
+    C = _stack_v3(coms)
+    W = _stack_v3(omega)
+    Vo = _stack_v3(v_o)
+    Al = _stack_v3(alpha)
+    Ac = _stack_v3(a_c)
+
+    anc = c.anc[..., None]                                # (b, j, 1)
+    hinge_j = c.hinge[None, :, None]                      # (1, j, 1)
+    # Jacobians: jv[b, j] = axes[j] x (com[b] - pos[j]) for hinge ancestors,
+    # axes[j] for slide ancestors, 0 otherwise (engine_soa._jacobians)
+    diff = C[:, None, :] - P[None, :, :]                  # (b, j, 3)
+    jv = anc * jnp.where(hinge_j, jnp.cross(A[None, :, :], diff),
+                         A[None, :, :])
+    jw = anc * jnp.where(hinge_j, A[None, :, :], 0.0)
+
+    # mass matrix: M = sum_b m_b jv_b jv_b^T + jw_b I_w(b) jw_b^T
+    Iw = jnp.einsum("bij,bjk,blk->bil", R, jnp.asarray(c.inertia), R)
+    M = (jnp.einsum("b,bkx,blx->kl", jnp.asarray(c.mass_b), jv, jv)
+         + jnp.einsum("bkx,bxy,bly->kl", jw, Iw, jw))
+    M = M + jnp.diag(jnp.asarray(c.armature))
+
+    # passive torques (engine_soa.passive_torque_soa, vectorized)
+    passive = -c.damping * qd - c.spring_k * (q - c.spring_ref)
+    passive = passive - c.limit_k * (jnp.maximum(q - c.q_hi, 0.0)
+                                     + jnp.minimum(q - c.q_lo, 0.0))
+
+    # gravity + inertial bias wrenches -> generalized bias force
+    f_bias = c.mass_b[:, None] * (c.gravity[None, :] - Ac)
+    n_bias = (jnp.einsum("bxy,by->bx", Iw, Al)
+              + jnp.cross(W, jnp.einsum("bxy,by->bx", Iw, W)))
+    rhs = (tau + passive
+           + jnp.einsum("bjx,bx->j", jv, f_bias)
+           - jnp.einsum("bjx,bx->j", jw, n_bias))
+
+    # contact points / velocities / forces
+    ns = len(c.sphere_body)
+    if ns:
+        sb = c.sphere_body
+        Rs, Ps = R[sb], P[sb]
+        pts = Ps + jnp.einsum("sij,sj->si", Rs, jnp.asarray(c.sphere_pos))
+        vels = Vo[sb] + jnp.cross(W[sb], pts - Ps)
+        F = jnp.zeros((ns, 3))
+        if len(c.sp):
+            si, pi = c.sp[:, 0], c.sp[:, 1]
+            n = jnp.asarray(c.plane_normal)[pi]
+            dist = jnp.sum(pts[si] * n, axis=-1) - c.plane_offset[pi]
+            delta = (c.sphere_radius[si] - dist)[:, None]
+            f = _contact_force_stacked(m, delta, vels[si], n)
+            F = F.at[si].add(f)
+        if len(c.ss):
+            ai, bi = c.ss[:, 0], c.ss[:, 1]
+            dvec = pts[ai] - pts[bi]
+            dist = jnp.sqrt(jnp.sum(dvec * dvec, -1, keepdims=True)) + 1e-9
+            n = dvec / dist
+            delta = (c.sphere_radius[ai] + c.sphere_radius[bi])[:, None] \
+                - dist
+            f = _contact_force_stacked(m, delta, vels[ai] - vels[bi], n)
+            F = F.at[ai].add(f).at[bi].add(-f)
+        if len(c.sseg):
+            si, ea, eb = c.sseg[:, 0], c.sseg[:, 1], c.sseg[:, 2]
+            a, b, p = pts[ea], pts[eb], pts[si]
+            ab = b - a
+            t = jnp.clip(jnp.sum((p - a) * ab, -1)
+                         / (jnp.sum(ab * ab, -1) + 1e-9), 0.0, 1.0)[:, None]
+            closest = a + t * ab
+            dvec = p - closest
+            dist = jnp.sqrt(jnp.sum(dvec * dvec, -1, keepdims=True)) + 1e-9
+            n = dvec / dist
+            seg_r = 0.5 * (c.sphere_radius[ea] + c.sphere_radius[eb])
+            delta = (c.sphere_radius[si] + seg_r)[:, None] - dist
+            v_closest = vels[ea] + t * (vels[eb] - vels[ea])
+            f = _contact_force_stacked(m, delta, vels[si] - v_closest, n)
+            F = F.at[si].add(f).at[ea].add(-(1.0 - t) * f).at[eb].add(-t * f)
+        # generalized contact force: col[s, j] = a_j x (p_s - o_j) (hinge)
+        # or a_j (slide), masked by ancestry of the sphere's body
+        diff_s = pts[:, None, :] - P[None, :, :]          # (s, j, 3)
+        cols = c.anc_sphere[..., None] * jnp.where(
+            c.hinge[None, :, None], jnp.cross(A[None, :, :], diff_s),
+            A[None, :, :])
+        rhs = rhs + jnp.einsum("sjx,sx->j", cols, F)
+
+    # Gauss-Jordan with vectorized row ops (PD, no pivoting — same
+    # numerics as engine_soa.solve_pd_scalar)
+    aug = jnp.concatenate([M, rhs[:, None]], axis=1)
+    for k in range(nq):
+        row = aug[k] / aug[k, k]
+        aug = aug - jnp.outer(aug[:, k], row)
+        aug = aug.at[k].set(row)
+    return aug[:, nq], jnp.diagonal(M)
+
+
+def make_single_step_stacked(model: ArticulatedModel, dt: float,
+                             substeps: int = 1):
+    """Drop-in for engine_soa.make_single_step_soa: (qpos (nq,), qvel
+    (nq,), tau (nq,)) -> (qpos, qvel), semi-implicit Euler + exact
+    velocity-level stiction, substeps under lax.scan."""
+    m = SoaModel(model)
+    c = _StackedConsts(m)
+    h = dt / substeps
+    fl = jnp.asarray(c.friction_loss)
+    has_friction = bool(np.any(c.friction_loss > 0.0))
+
+    def one(qpos, qvel, tau):
+        def sub(carry, _):
+            q, qd = carry
+            qdd, mdiag = forward_dynamics_stacked(m, c, q, qd, tau)
+            qd2 = qd + h * qdd
+            if has_friction:
+                cap = fl * h / mdiag
+                qd2 = qd2 - jnp.clip(qd2, -cap, cap) * (fl > 0.0)
+            q2 = q + h * qd2
+            return (q2, qd2), None
+
+        (q, qd), _ = jax.lax.scan(sub, (qpos, qvel), None, length=substeps)
+        return q, qd
+
+    return one

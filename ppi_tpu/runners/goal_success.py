@@ -110,6 +110,8 @@ def _goal_field(env_name: str) -> str:
 
 
 def main(argv=None):
+    from ppi_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--env", choices=sorted(CONFIGS), required=True)
     p.add_argument("--resets", type=int, default=5)

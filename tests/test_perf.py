@@ -129,3 +129,62 @@ class TestDoorHandOnDevice:
         carry, _ = agent.warm_start(carry, es, 50)
         carry, es, track = agent.run_episode_scan(carry, es, collect=False)
         assert bool(env.success(es)), float(es.physics.qpos[NAIL])
+
+
+class TestGoalSampledHandsOnDevice:
+    """The round-3 hand embodiments certified on device (VERDICT r2 next
+    #2): MPC itself must solve pen-v0-hand and relocate-v0-hand under the
+    canonical solver configs, with the episode goal SAMPLED at reset (the
+    mj_envs task distribution, not a pinned target)."""
+
+    def test_canonical_mpc_reorients_pen_in_hand(self):
+        """Measured r3: return ~4950, Success True on the canonical
+        Lbps+SE config (see RESULTS.md / results/media/pen_hand_mpc.gif).
+        Device-only — the 11-DoF SoA graph compiles in minutes on CPU."""
+        from ppi_tpu.algorithms import make_solver
+        from ppi_tpu.envs.pen_hand import PenHand
+        from ppi_tpu.mpc import Mpc
+        from ppi_tpu.policies import design_moments, make_policy
+
+        env = PenHand(engine="soa")
+        horizon = 15
+        mean, ci, co = design_moments(env.action_low, env.action_high,
+                                      1000.0)
+        family, policy = make_policy(
+            "SquaredExponentialKernel", env.dt * jnp.arange(horizon),
+            env.action_dim, mean, ci, co, lengthscale=4 * env.dt,
+            lower=env.action_low, upper=env.action_high)
+        agent = Mpc(env=env, solver=make_solver("Lbps", delta=0.9),
+                    family=family, timesteps=100, horizon=horizon,
+                    n_samples=96, n_iters=2, anneal=0.5)
+        carry = agent.init(policy, jax.random.key(0))
+        es = env.reset(jax.random.key(0))  # samples the goal axis
+        carry, _ = agent.warm_start(carry, es, 50)
+        carry, es, track = agent.run_episode_scan(carry, es, collect=False)
+        assert bool(env.success(es))
+
+    def test_canonical_mpc_relocates_ball_with_digit_grasp(self):
+        """Measured r3: return ~3380, Success True on the canonical
+        Mppi+ColouredNoise config (RESULTS.md). Device-only — the 13-DoF
+        SoA graph compiles in minutes on CPU."""
+        from ppi_tpu.algorithms import make_solver
+        from ppi_tpu.envs.relocate_hand import RelocateHand
+        from ppi_tpu.mpc import Mpc
+        from ppi_tpu.policies import design_moments, make_policy
+
+        env = RelocateHand(engine="soa")
+        horizon = 20
+        mean, ci, co = design_moments(env.action_low, env.action_high,
+                                      1000.0)
+        family, policy = make_policy(
+            "ColouredNoise", env.dt * jnp.arange(horizon),
+            env.action_dim, mean, ci, co, beta=2.0,
+            lower=env.action_low, upper=env.action_high)
+        agent = Mpc(env=env, solver=make_solver("Mppi", alpha=10.0),
+                    family=family, timesteps=140, horizon=horizon,
+                    n_samples=256, n_iters=1, anneal=0.9)
+        carry = agent.init(policy, jax.random.key(0))
+        es = env.reset(jax.random.key(0))  # samples the goal position
+        carry, _ = agent.warm_start(carry, es, 50)
+        carry, es, track = agent.run_episode_scan(carry, es, collect=False)
+        assert bool(env.success(es))

@@ -290,3 +290,82 @@ class TestFreeBodyComposition:
         np.testing.assert_allclose(float(state.qpos[2]),
                                    -0.5 * 9.81 * t ** 2, rtol=2e-2)
         del body
+
+
+class TestStackedEngine:
+    """Cross-validation of the stacked-assembly dynamics
+    (engine_stacked, the compile-time fast path for high-DoF scenes)
+    against the scalar-SoA pipeline: identical math, array assemblies."""
+
+    def test_matches_soa_on_door_trajectory(self, rng):
+        from ppi_tpu.envs.door import Door
+        from ppi_tpu.envs.physics.engine_soa import make_single_step_soa
+        from ppi_tpu.envs.physics.engine_stacked import (
+            make_single_step_stacked)
+
+        env = Door()
+        model = env._model
+        s_soa = jax.jit(make_single_step_soa(model, env.dt, env.substeps))
+        s_stk = jax.jit(make_single_step_stacked(model, env.dt,
+                                                 env.substeps))
+        q = jnp.asarray(rng.normal(size=6).astype(np.float32) * 0.3)
+        qd = jnp.asarray(rng.normal(size=6).astype(np.float32) * 0.5)
+        tau = jnp.asarray(rng.normal(size=6).astype(np.float32))
+        for _ in range(25):
+            q1, qd1 = s_soa(q, qd, tau)
+            q2, qd2 = s_stk(q, qd, tau)
+            np.testing.assert_allclose(np.asarray(q2), np.asarray(q1),
+                                       rtol=1e-5, atol=1e-5)
+            np.testing.assert_allclose(np.asarray(qd2), np.asarray(qd1),
+                                       rtol=1e-4, atol=1e-4)
+            q, qd = q1, qd1
+
+    def test_matches_soa_with_all_contact_types(self, rng):
+        """relocate exercises sphere-plane, sphere-sphere AND
+        sphere-segment pairs plus slide joints and joint limits."""
+        from ppi_tpu.envs.relocate import Relocate
+        from ppi_tpu.envs.physics.engine_soa import make_single_step_soa
+        from ppi_tpu.envs.physics.engine_stacked import (
+            make_single_step_stacked)
+
+        env = Relocate()
+        model = env._model
+        s_soa = jax.jit(make_single_step_soa(model, env.dt, env.substeps))
+        s_stk = jax.jit(make_single_step_stacked(model, env.dt,
+                                                 env.substeps))
+        state = env.reset(jax.random.key(0))
+        q, qd = state.physics.qpos, state.physics.qvel
+        tau = jnp.asarray(rng.normal(size=model.nq).astype(np.float32))
+        for _ in range(25):
+            q1, qd1 = s_soa(q, qd, tau)
+            q2, qd2 = s_stk(q, qd, tau)
+            np.testing.assert_allclose(np.asarray(q2), np.asarray(q1),
+                                       rtol=1e-4, atol=1e-4)
+            np.testing.assert_allclose(np.asarray(qd2), np.asarray(qd1),
+                                       rtol=1e-3, atol=1e-3)
+            q, qd = q1, qd1
+
+    def test_friction_stiction_matches(self, rng):
+        """hammer-v0 has joint friction_loss (the nail) — the stiction
+        branch must agree too."""
+        from ppi_tpu.envs.hammer import Hammer
+        from ppi_tpu.envs.physics.engine_soa import make_single_step_soa
+        from ppi_tpu.envs.physics.engine_stacked import (
+            make_single_step_stacked)
+
+        env = Hammer()
+        model = env._model
+        s_soa = jax.jit(make_single_step_soa(model, env.dt, env.substeps))
+        s_stk = jax.jit(make_single_step_stacked(model, env.dt,
+                                                 env.substeps))
+        state = env.reset(jax.random.key(0))
+        q, qd = state.physics.qpos, state.physics.qvel
+        tau = jnp.asarray(rng.normal(size=model.nq).astype(np.float32))
+        for _ in range(25):
+            q1, qd1 = s_soa(q, qd, tau)
+            q2, qd2 = s_stk(q, qd, tau)
+            np.testing.assert_allclose(np.asarray(q2), np.asarray(q1),
+                                       rtol=1e-4, atol=1e-4)
+            np.testing.assert_allclose(np.asarray(qd2), np.asarray(qd1),
+                                       rtol=1e-3, atol=1e-3)
+            q, qd = q1, qd1
