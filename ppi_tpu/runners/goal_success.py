@@ -45,8 +45,16 @@ CONFIGS = {
 
 
 def run(env_name: str, resets: int, warmstart: int = 50, overrides=None,
-        base_key: int = 0):
-    """Vmapped goal sweep; returns a JSON-serializable summary dict."""
+        base_key: int = 0, chunk: int = None):
+    """Vmapped goal sweep; returns a JSON-serializable summary dict.
+
+    ``chunk`` bounds how many episodes share one vmapped execution (the
+    jitted chunk program is reused across chunks, so compile cost is paid
+    once). Observed need: the 13-DoF relocate-v0-hand stacked-dynamics
+    program executes fine at vmap(5) x T=60 and vmap(1) x T=140 but
+    reproducibly kills the TPU worker at vmap(5) x T=140 — an XLA:TPU
+    runtime fault at that shape, not a framework numerics issue (see
+    RESULTS.md). Chunking is the workaround."""
     import jax
     import jax.numpy as jnp
 
@@ -84,7 +92,22 @@ def run(env_name: str, resets: int, warmstart: int = 50, overrides=None,
                 getattr(es, field), getattr(es_f, field))
 
     keys = jax.random.split(jax.random.key(base_key), resets)
-    returns, succ, goals0, goals_f = jax.jit(jax.vmap(one_episode))(keys)
+    chunk = resets if chunk is None else max(1, min(chunk, resets))
+    if chunk == resets:
+        returns, succ, goals0, goals_f = jax.jit(jax.vmap(one_episode))(keys)
+    else:
+        prog = jax.jit(jax.vmap(one_episode))
+        parts = []
+        for i in range(0, resets, chunk):
+            ks = keys[i:i + chunk]
+            if ks.shape[0] < chunk:  # pad to the compiled chunk shape
+                pad = jnp.broadcast_to(ks[-1:], (chunk - ks.shape[0],))
+                ks = jnp.concatenate([ks, pad])
+            out = prog(ks)
+            parts.append(jax.tree.map(
+                lambda x, n=min(chunk, resets - i): x[:n], out))
+        returns, succ, goals0, goals_f = jax.tree.map(
+            lambda *xs: jnp.concatenate(xs), *parts)
     goals = np.asarray(goals0)
     assert np.allclose(goals, np.asarray(goals_f)), \
         "episode goal must be constant within an episode"
@@ -119,6 +142,10 @@ def main(argv=None):
     p.add_argument("--n-samples", type=int, default=None)
     p.add_argument("--timesteps", type=int, default=None)
     p.add_argument("--horizon", type=int, default=None)
+    p.add_argument("--chunk", type=int, default=None,
+                   help="episodes per vmapped execution (workaround for "
+                        "shape-specific TPU runtime faults; compile is "
+                        "shared across chunks)")
     p.add_argument("--key", type=int, default=0)
     p.add_argument("--dir", type=str, default=None)
     args = p.parse_args(argv)
@@ -130,7 +157,7 @@ def main(argv=None):
     if args.horizon is not None:
         overrides["horizon"] = args.horizon
     summary = run(args.env, args.resets, warmstart=args.warmstart,
-                  overrides=overrides, base_key=args.key)
+                  overrides=overrides, base_key=args.key, chunk=args.chunk)
     for ep in summary["episodes"]:
         print(f"[{args.env}] reset {ep['reset']}: return "
               f"{ep['return']:.1f} success {ep['success']}")

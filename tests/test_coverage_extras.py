@@ -92,6 +92,13 @@ class TestGoalSuccessRunner:
         summary = gs.run("fetch-push", resets=2, warmstart=1,
                          overrides=dict(timesteps=3, horizon=5, n_samples=8))
         assert summary["resets"] == 2
+        # chunked execution (chunk < resets, incl. a padded tail chunk)
+        # must reproduce the all-at-once vmapped results exactly
+        chunked = gs.run("fetch-push", resets=2, warmstart=1, chunk=1,
+                         overrides=dict(timesteps=3, horizon=5, n_samples=8))
+        for a, b in zip(summary["episodes"], chunked["episodes"]):
+            assert a["goal"] == b["goal"]
+            np.testing.assert_allclose(a["return"], b["return"], rtol=1e-5)
         assert 0.0 <= summary["success_rate"] <= 1.0
         assert summary["goal_spread"] > 0.0  # goals actually sampled
         assert len(summary["episodes"]) == 2
