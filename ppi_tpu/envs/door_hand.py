@@ -138,7 +138,14 @@ class DoorHand:
         object.__setattr__(self, "_palm_geom", palm)
         object.__setattr__(self, "_handle_geoms", handle)
         if self.engine == "soa":
-            step = make_single_step_soa(model, self.dt, self.substeps)
+            # pinned to the scalar pipeline: the stacked path is numerically
+            # equivalent (fp-epsilon; scripted oracle matches to 1e-3 rad)
+            # but the fp reduction-order change re-rolls this knife-edge
+            # task's MPC episodes — measured 3/5 seeds vs 4/5 scalar
+            # (RESULTS.md round-3 engine study), so the certified canonical
+            # behavior keeps the certified dynamics path
+            step = make_single_step_soa(model, self.dt, self.substeps,
+                                        stacked=False)
         else:
             from ppi_tpu.envs.physics import engine as _te
 

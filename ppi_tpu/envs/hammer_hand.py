@@ -164,7 +164,14 @@ class HammerHand:
         object.__setattr__(self, "_head_geom", head)
         object.__setattr__(self, "_nail_geoms", nails)
         if self.engine == "soa":
-            step = make_single_step_soa(model, self.dt, self.substeps)
+            # pinned to the scalar pipeline: the friction-held grasp
+            # makes this the most fp-sensitive task in the zoo — the
+            # numerically-equivalent stacked path re-rolls MPC success
+            # from ~3/5 to 1/10 seeds (RESULTS.md round-3 engine
+            # study), so the certified behavior keeps the certified
+            # dynamics path
+            step = make_single_step_soa(model, self.dt, self.substeps,
+                                        stacked=False)
         else:
             from ppi_tpu.envs.physics import engine as _te
 
