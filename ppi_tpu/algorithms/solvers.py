@@ -29,8 +29,8 @@ from ppi_tpu.algorithms.base import (
 from ppi_tpu.ops.scalar_opt import (
     ALPHA_LOWER,
     ALPHA_UPPER,
-    bisect_decreasing,
-    grid_golden_min,
+    grid_zoom_min,
+    grid_zoom_root_decreasing,
     minimize_newton,
 )
 
@@ -128,7 +128,10 @@ class Reps(SolverBase):
             log_mean_w = logsumexp(log_w) - jnp.log(n_valid)
             return self.epsilon / alpha + log_mean_w / alpha
 
-        alpha = grid_golden_min(dual, ALPHA_LOWER, ALPHA_UPPER)
+        # latency-optimal vectorized zoom search (see ops.scalar_opt:
+        # the 32-step golden polish was ~1 ms of sequential tiny
+        # kernels in the update's critical path)
+        alpha = grid_zoom_min(dual, ALPHA_LOWER, ALPHA_UPPER)
         log_w = -alpha * costs_n + batch.log_valid
         state, ess, kl = family.weighted_update(state, log_w, batch.params)
         return state, {"ess": ess, "kl": kl, "alpha": alpha}
@@ -204,7 +207,7 @@ class Lbps(SolverBase):
             expected_cost = jnp.sum(nw * costs_n)
             return expected_cost + lam / jnp.sqrt(ess)
 
-        alpha = grid_golden_min(lower_bound, ALPHA_LOWER, ALPHA_UPPER)
+        alpha = grid_zoom_min(lower_bound, ALPHA_LOWER, ALPHA_UPPER)
         log_w = -alpha * costs_n + batch.log_valid
         state, ess, kl = family.weighted_update(state, log_w, batch.params)
         return state, {"ess": ess, "kl": kl, "alpha": alpha}
@@ -228,8 +231,8 @@ class Essps(SolverBase):
             log_nw = log_w - logsumexp(log_w)
             return jnp.exp(-logsumexp(2.0 * log_nw))
 
-        alpha = bisect_decreasing(ess_of, float(self.n_elites),
-                                  ALPHA_LOWER, ALPHA_UPPER)
+        alpha = grid_zoom_root_decreasing(
+            ess_of, float(self.n_elites), ALPHA_LOWER, ALPHA_UPPER)
         log_w = -alpha * costs_n + batch.log_valid
         state, ess, kl = family.weighted_update(state, log_w, batch.params)
         _, weight_ent = _log_weight_diagnostics(log_w)

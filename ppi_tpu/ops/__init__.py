@@ -31,6 +31,8 @@ from ppi_tpu.ops.psd import (
 from ppi_tpu.ops.scalar_opt import (
     golden_section_min,
     grid_golden_min,
+    grid_zoom_min,
+    grid_zoom_root_decreasing,
     bisect_decreasing,
 )
 
@@ -53,5 +55,7 @@ __all__ = [
     "psd_floor",
     "golden_section_min",
     "grid_golden_min",
+    "grid_zoom_min",
+    "grid_zoom_root_decreasing",
     "bisect_decreasing",
 ]

@@ -245,6 +245,44 @@ class TestScalarOpt:
         alpha = ops.bisect_decreasing(ess_of_alpha, 10.0)
         np.testing.assert_allclose(ess_of_alpha(alpha), 10.0, rtol=1e-2)
 
+    def test_grid_zoom_matches_golden_on_duals(self, rng):
+        """The latency-optimal zoom searches (the solvers' default since
+        round 3) must agree with the golden/bisection references on the
+        actual PPI duals to well inside temperature sensitivity."""
+        from jax.scipy.special import logsumexp
+        costs = jnp.array(rng.uniform(size=256).astype(np.float32))
+        costs = (costs - costs.min()) / (costs.max() - costs.min())
+
+        def reps_dual(alpha):
+            return 0.5 / alpha + (logsumexp(-alpha * costs)
+                                  - jnp.log(costs.shape[0])) / alpha
+
+        def lbps_bound(alpha):
+            log_w = -alpha * costs
+            log_nw = log_w - logsumexp(log_w)
+            nw = jnp.exp(log_nw)
+            ess = jnp.exp(-logsumexp(2.0 * log_nw))
+            return jnp.sum(nw * costs) + 3.0 / jnp.sqrt(ess)
+
+        for dual in (reps_dual, lbps_bound):
+            a_golden = float(ops.grid_golden_min(dual))
+            a_zoom = float(ops.grid_zoom_min(dual))
+            # dual VALUES must match tightly (the duals are flat at the
+            # minimum, so the alphas themselves may differ more)
+            np.testing.assert_allclose(float(dual(a_zoom)),
+                                       float(dual(a_golden)),
+                                       rtol=1e-3, atol=1e-4)
+
+        def ess_of_alpha(alpha):
+            log_w = -alpha * costs
+            log_nw = log_w - logsumexp(log_w)
+            return jnp.exp(-logsumexp(2 * log_nw))
+
+        a_zoom = ops.grid_zoom_root_decreasing(ess_of_alpha, 10.0)
+        np.testing.assert_allclose(ess_of_alpha(a_zoom), 10.0, rtol=1e-2)
+        a_bis = ops.bisect_decreasing(ess_of_alpha, 10.0)
+        np.testing.assert_allclose(float(a_zoom), float(a_bis), rtol=2e-2)
+
 
 class TestQmc:
     def test_sobol_uniform_range_and_balance(self):
