@@ -74,7 +74,15 @@ class MatrixPolicyBase:
         return z
 
     def transform_base(self, state: MatrixNormalState, z):
-        """M + L_U Z L_V^T as two batched MXU matmuls; (n, m, d_a)."""
+        """M + L_U Z L_V^T as two batched MXU matmuls; (n, m, d_a).
+
+        Layout note (measured r3, do not retry): reshaping the L_U
+        contraction to one (m, m) @ (m, n*d_a) matmul or a raw
+        dot_general wins 1.56 -> 1.2 ms in ISOLATION but is neutral-to-
+        2x-slower inside the full jitted PPI iteration — XLA propagates
+        the transposed intermediate layout into the rollout/update and
+        loses more than the matmul saves. The einsum form fuses best
+        end-to-end (RESULTS.md negative results)."""
         zz = jnp.einsum("ki,bij->bkj", state.chol_in, z)
         return state.mean[None] + zz @ state.chol_out.T
 
