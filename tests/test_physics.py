@@ -369,3 +369,27 @@ class TestStackedEngine:
             np.testing.assert_allclose(np.asarray(qd2), np.asarray(qd1),
                                        rtol=1e-3, atol=1e-3)
             q, qd = q1, qd1
+
+    def test_vmapped_batch_matches_scalar_path(self, rng):
+        """The stacked assemblies must hold under vmap (the MPC rollout
+        axis): batched step == per-sample scalar step, lane for lane."""
+        from ppi_tpu.envs.door import Door
+        from ppi_tpu.envs.physics.engine_soa import make_single_step_soa
+        from ppi_tpu.envs.physics.engine_stacked import (
+            make_single_step_stacked)
+
+        env = Door()
+        model = env._model
+        s_soa = jax.jit(jax.vmap(make_single_step_soa(model, env.dt,
+                                                      env.substeps)))
+        s_stk = jax.jit(jax.vmap(make_single_step_stacked(model, env.dt,
+                                                          env.substeps)))
+        q = jnp.asarray(rng.normal(size=(8, 6)).astype(np.float32) * 0.3)
+        qd = jnp.asarray(rng.normal(size=(8, 6)).astype(np.float32) * 0.5)
+        tau = jnp.asarray(rng.normal(size=(8, 6)).astype(np.float32))
+        q1, qd1 = s_soa(q, qd, tau)
+        q2, qd2 = s_stk(q, qd, tau)
+        np.testing.assert_allclose(np.asarray(q2), np.asarray(q1),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(qd2), np.asarray(qd1),
+                                   rtol=1e-4, atol=1e-4)
