@@ -51,9 +51,19 @@ mpc-hand:
 	    SquaredExponentialKernel --delta 0.9 --n-iters 2 --anneal 0.5 \
 	    --render --dir results/mpc MonteCarlo --n-samples 64
 
-# quantitative CoRL'22-style overlays (3 priors x 5 seeds on door-v0)
+# quantitative CoRL'22-style overlays (3 priors x 5 seeds on door-v0);
+# --vmap-seeds runs all seeds of a config as one compiled program (1.9x)
 corl:
-	$(PY) -m ppi_tpu.runners.corl_curves --seeds 5 --dir results/corl
+	$(PY) -m ppi_tpu.runners.corl_curves --seeds 5 --vmap-seeds \
+	    --dir results/corl
+
+# MPC success rates over the sampled goal distributions (5 resets per env,
+# one vmapped program each; results/goals/*.json)
+goals:
+	for e in pen-v0 pen-v0-hand relocate-v0 relocate-v0-hand \
+	    fetch-push fetch-pick; do \
+	    $(PY) -m ppi_tpu.runners.goal_success --env $$e --resets 5 \
+	        --dir results/goals || exit 1; done
 
 # reference profile_mpc.py
 profile:

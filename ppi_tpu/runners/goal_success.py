@@ -32,9 +32,12 @@ CONFIGS = {
     "relocate-v0": dict(alg="Mppi", policy="ColouredNoise", beta=2.0,
                         alpha=10.0, anneal=0.9, timesteps=140, horizon=20,
                         n_samples=256),
+    # chunk=1: the 13-DoF stacked program reproducibly kills the TPU
+    # worker at vmap(5) x T=140 (fine chunked; see RESULTS.md) — default
+    # to sequential episodes sharing one compiled program
     "relocate-v0-hand": dict(alg="Mppi", policy="ColouredNoise", beta=2.0,
                              alpha=10.0, anneal=0.9, timesteps=140,
-                             horizon=20, n_samples=256),
+                             horizon=20, n_samples=256, chunk=1),
     "fetch-push": dict(alg="Mppi", policy="ColouredNoise", beta=2.0,
                        alpha=10.0, anneal=0.9, timesteps=120, horizon=20,
                        n_samples=256),
@@ -65,6 +68,10 @@ def run(env_name: str, resets: int, warmstart: int = 50, overrides=None,
 
     cfg = dict(CONFIGS[env_name])
     cfg.update(overrides or {})
+    if chunk is None:
+        chunk = cfg.pop("chunk", None)
+    else:
+        cfg.pop("chunk", None)
     env = ENVS[env_name]()
     fam, pol = make_policy(
         cfg["policy"], env.dt * jnp.arange(cfg["horizon"]), env.action_dim,
