@@ -31,6 +31,7 @@ from ppi_tpu.envs.relocate import (
     BALL_START,
     TABLE_Z,
     _build_model,
+    scalar_grasp_ball_sites,
 )
 
 GOAL_RANGE_XY = 0.12          # xy half-range about the object start
@@ -151,15 +152,9 @@ class FetchPickAndPlace:
         return state.target
 
     def scalar_reward(self, m, q, qd, consts):
-        from ppi_tpu.envs.physics.engine_soa import fk_soa, geom_point_soa
         gx, gy, gz = consts
-        rots, poss, _, _ = fk_soa(m, q)
-        palm = geom_point_soa(m, rots, poss, self._palm_geom)
-        tips = [geom_point_soa(m, rots, poss, g) for g in self._tip_geoms]
-        n = float(len(tips))
-        grasp = tuple(0.5 * (sum(t[i] for t in tips) / n + palm[i])
-                      for i in range(3))
-        ball = geom_point_soa(m, rots, poss, self._ball_geom)
+        grasp, ball = scalar_grasp_ball_sites(
+            m, q, self._palm_geom, self._tip_geoms, self._ball_geom)
         reach = jnp.sqrt((grasp[0] - ball[0]) ** 2 + (grasp[1] - ball[1]) ** 2
                          + (grasp[2] - ball[2]) ** 2)
         carry = jnp.sqrt((ball[0] - gx) ** 2 + (ball[1] - gy) ** 2

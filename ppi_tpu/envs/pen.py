@@ -102,6 +102,21 @@ def _build_model():
     return b.finalize(), (end_a, end_b), (tip_a, tip_b)
 
 
+def scalar_pen_pose(m, q, end_geoms):
+    """Scalar-SoA pen centre + normalized long axis from the two end-cap
+    geoms — shared by the Pen and PenHand reward kernels."""
+    from ppi_tpu.envs.physics.engine_soa import fk_soa, geom_point_soa
+    rots, poss, _, _ = fk_soa(m, q)
+    ea = geom_point_soa(m, rots, poss, end_geoms[0])
+    eb = geom_point_soa(m, rots, poss, end_geoms[1])
+    cx = 0.5 * (ea[0] + eb[0])
+    cy = 0.5 * (ea[1] + eb[1])
+    cz = 0.5 * (ea[2] + eb[2])
+    dx, dy, dz = ea[0] - eb[0], ea[1] - eb[1], ea[2] - eb[2]
+    norm = jnp.sqrt(dx * dx + dy * dy + dz * dz) + 1e-9
+    return (cx, cy, cz), (dx / norm, dy / norm, dz / norm)
+
+
 class PenState(struct.PyTreeNode):
     physics: PhysicsState
     target_axis: jax.Array  # sampled per-episode goal orientation (unit)
@@ -203,17 +218,8 @@ class Pen:
         return state.target_axis
 
     def scalar_reward(self, m, q, qd, consts):
-        from ppi_tpu.envs.physics.engine_soa import fk_soa, geom_point_soa
         tx, ty, tz = consts
-        rots, poss, _, _ = fk_soa(m, q)
-        ea = geom_point_soa(m, rots, poss, self._end_geoms[0])
-        eb = geom_point_soa(m, rots, poss, self._end_geoms[1])
-        cx = 0.5 * (ea[0] + eb[0])
-        cy = 0.5 * (ea[1] + eb[1])
-        cz = 0.5 * (ea[2] + eb[2])
-        dx, dy, dz = ea[0] - eb[0], ea[1] - eb[1], ea[2] - eb[2]
-        norm = jnp.sqrt(dx * dx + dy * dy + dz * dz) + 1e-9
-        ax, ay, az = dx / norm, dy / norm, dz / norm
+        (cx, cy, cz), (ax, ay, az) = scalar_pen_pose(m, q, self._end_geoms)
         hx, hy, hz = HOLD_POS
         dist = jnp.sqrt((cx - hx) ** 2 + (cy - hy) ** 2 + (cz - hz) ** 2)
         similarity = ax * tx + ay * ty + az * tz

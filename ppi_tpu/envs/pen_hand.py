@@ -32,6 +32,7 @@ from ppi_tpu.envs.pen import (
     HOLD_POS,
     PEN_HALF,
     axis_from_angles,
+    scalar_pen_pose,
     target_axis,
 )
 from ppi_tpu.envs.physics import ModelBuilder, PhysicsState
@@ -216,16 +217,7 @@ class PenHand:
         return tuple(tau)
 
     def _scalar_pen_pose(self, m, q):
-        from ppi_tpu.envs.physics.engine_soa import fk_soa, geom_point_soa
-        rots, poss, _, _ = fk_soa(m, q)
-        ea = geom_point_soa(m, rots, poss, self._end_geoms[0])
-        eb = geom_point_soa(m, rots, poss, self._end_geoms[1])
-        cx = 0.5 * (ea[0] + eb[0])
-        cy = 0.5 * (ea[1] + eb[1])
-        cz = 0.5 * (ea[2] + eb[2])
-        dx, dy, dz = ea[0] - eb[0], ea[1] - eb[1], ea[2] - eb[2]
-        norm = jnp.sqrt(dx * dx + dy * dy + dz * dz) + 1e-9
-        return (cx, cy, cz), (dx / norm, dy / norm, dz / norm)
+        return scalar_pen_pose(m, q, self._end_geoms)
 
     def scalar_reward_consts(self, state):
         """Per-episode kernel constants: the sampled goal axis."""

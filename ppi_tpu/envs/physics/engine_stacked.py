@@ -27,7 +27,7 @@ make them exact zeros; the extra FLOPs are noise at nq <= 16 on a VPU
 lane).  Numerics are cross-validated against ``engine_soa`` and the
 tensor oracle in tests/test_physics.py.
 
-``engine_soa.make_single_step_soa`` dispatches here for nq >= 8 (where
+``engine_soa.make_single_step_soa`` dispatches here for nq >= 10 (where
 the compile-time blowup bites); the Pallas megakernel keeps the pure
 scalar form — Mosaic wants elementwise tuple programs, and its compile
 times were never the problem (RESULTS.md).

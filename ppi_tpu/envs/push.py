@@ -106,14 +106,20 @@ class FetchPush:
         return np.array([1.5, 1.2, 2.0, 2.0])
 
     def sample_goal(self, key):
-        """Tabletop goal = box start + U(-range, range)^2, radially pushed
-        out to the 0.1 m minimum the Fetch sampler enforces by rejection."""
+        """Tabletop goal = box start + U(-range, range)^2 rejection-sampled
+        to the 0.1 m minimum, matching the Fetch resample-until-far loop
+        (gymnasium-robotics fetch_env._sample_goal) as a fixed 8-draw
+        first-accept under jit. A radial projection (which would put a
+        ~35% atom of easiest goals exactly on the 0.1 m circle) is kept
+        only as the all-draws-near fallback (p ~ 0.35^8 ~ 2e-4)."""
         if self.fixed_goal:
             return jnp.asarray(self.target)
-        off = jax.random.uniform(key, (2,), minval=-GOAL_RANGE,
-                                 maxval=GOAL_RANGE)
+        offs = jax.random.uniform(key, (8, 2), minval=-GOAL_RANGE,
+                                  maxval=GOAL_RANGE)
+        ok = jnp.linalg.norm(offs, axis=1) >= GOAL_MIN_DIST
+        off = offs[jnp.argmax(ok)]      # first accepted draw (row 0 if none)
         r = jnp.linalg.norm(off) + 1e-9
-        off = off * jnp.maximum(1.0, GOAL_MIN_DIST / r)
+        off = jnp.where(ok.any(), off, off * (GOAL_MIN_DIST / r))
         return jnp.asarray(BOX_START) + off
 
     def reset(self, key):

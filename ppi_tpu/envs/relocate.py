@@ -114,6 +114,21 @@ def _build_model():
     return b.finalize(), palm, tuple(tips), ball
 
 
+def scalar_grasp_ball_sites(m, q, palm_geom, tip_geoms, ball_geom):
+    """Scalar-SoA grasp-point/ball positions shared by the relocate and
+    fetch-pick reward kernels: grasp = midpoint of the palm and the tip
+    centroid (the same definition as the tensor-path ``_sites``)."""
+    from ppi_tpu.envs.physics.engine_soa import fk_soa, geom_point_soa
+    rots, poss, _, _ = fk_soa(m, q)
+    palm = geom_point_soa(m, rots, poss, palm_geom)
+    tips = [geom_point_soa(m, rots, poss, g) for g in tip_geoms]
+    n = float(len(tips))
+    grasp = tuple(0.5 * (sum(t[i] for t in tips) / n + palm[i])
+                  for i in range(3))
+    ball = geom_point_soa(m, rots, poss, ball_geom)
+    return grasp, ball
+
+
 class RelocateState(struct.PyTreeNode):
     physics: PhysicsState
     target: jax.Array  # sampled per-episode in-air goal position
@@ -230,15 +245,8 @@ class Relocate:
         return state.target
 
     def _scalar_sites(self, m, q):
-        from ppi_tpu.envs.physics.engine_soa import fk_soa, geom_point_soa
-        rots, poss, _, _ = fk_soa(m, q)
-        palm = geom_point_soa(m, rots, poss, self._palm_geom)
-        tips = [geom_point_soa(m, rots, poss, g) for g in self._tip_geoms]
-        n = float(len(tips))
-        grasp = tuple(0.5 * (sum(t[i] for t in tips) / n + palm[i])
-                      for i in range(3))
-        ball = geom_point_soa(m, rots, poss, self._ball_geom)
-        return grasp, ball
+        return scalar_grasp_ball_sites(m, q, self._palm_geom,
+                                       self._tip_geoms, self._ball_geom)
 
     def scalar_reward(self, m, q, qd, consts):
         gx, gy, gz = consts

@@ -36,19 +36,17 @@ def _round_up_128(n: int) -> int:
 
 
 def _pick_block(n_samples: int) -> int:
-    """Pallas rollout block size: the largest <=1024 multiple of 128 that
-    DIVIDES the 128-padded batch, so kernel padding never exceeds one
-    128-lane group (ADVICE r2: min(1024, round_up(n)) could pad ~2x,
-    e.g. n=1100 -> block 1024 -> padded grid 2048)."""
-    padded = _round_up_128(n_samples)
-    if padded <= 1024:
-        return padded
-    groups = padded // 128
-    best = 1
-    for g in range(2, 9):           # candidate blocks: 256..1024
-        if groups % g == 0:
-            best = g
-    return best * 128
+    """Pallas rollout block size: minimize GRID STEPS, not padded lanes.
+
+    Measured on v5e (door megakernel, H=160): per-grid-step cost is nearly
+    independent of block width <= 1024 (a (128,) f32 op occupies the same
+    VREG issue slots as a (1024,) one), so padding is almost free while
+    every extra grid step replays the whole horizon loop. n=1100:
+    block=1024 (2 steps, 2048 padded lanes) = 2.5 ms vs the "no-waste"
+    block=128 (9 steps) = 4.5 ms; n=1408 (11 prime 128-groups): 2.8 ms vs
+    5.4 ms. The ADVICE-r2 divisor-chasing variant optimized the wrong
+    quantity and is reverted."""
+    return min(1024, _round_up_128(n_samples))
 
 
 @dataclasses.dataclass(frozen=True)

@@ -354,9 +354,11 @@ def render_pen(env, qpos_history, path, stride=2, target=None):
 
 
 def render_pen_hand(env, qpos_history, path, stride=2, target=None):
-    """Side-view (y-z at the hold) schematic of the pen-hand task: rod,
-    three articulated digits, target orientation ray
-    (``envs.pen_hand.PenHand``)."""
+    """Side-view (x-z projection at the hold) schematic of the pen-hand
+    task: rod, three articulated digits, target orientation ray
+    (``envs.pen_hand.PenHand``). The x-z plane shows the pen's long axis
+    and the goal ray; digit curl (a y-z motion about the x hinges) is
+    foreshortened in this view."""
     qpos_history = np.asarray(qpos_history)
     from ppi_tpu.envs.pen import HOLD_POS, PEN_HALF
     from ppi_tpu.envs.pen_hand import DIGIT_DROP, THUMB_RISE

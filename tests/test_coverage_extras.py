@@ -89,19 +89,19 @@ class TestGoalSuccessRunner:
         within each episode, and the summary must serialize."""
         from ppi_tpu.runners import goal_success as gs
 
-        summary = gs.run("fetch-push", resets=2, warmstart=1,
+        summary = gs.run("fetch-push", resets=3, warmstart=1,
                          overrides=dict(timesteps=3, horizon=5, n_samples=8))
-        assert summary["resets"] == 2
-        # chunked execution (chunk < resets, incl. a padded tail chunk)
-        # must reproduce the all-at-once vmapped results exactly
-        chunked = gs.run("fetch-push", resets=2, warmstart=1, chunk=1,
+        assert summary["resets"] == 3
+        # chunked execution (chunk < resets; 3 resets / chunk 2 forces the
+        # padded tail chunk through goal_success's key-broadcast pad path)
+        chunked = gs.run("fetch-push", resets=3, warmstart=1, chunk=2,
                          overrides=dict(timesteps=3, horizon=5, n_samples=8))
         for a, b in zip(summary["episodes"], chunked["episodes"]):
             assert a["goal"] == b["goal"]
             np.testing.assert_allclose(a["return"], b["return"], rtol=1e-5)
         assert 0.0 <= summary["success_rate"] <= 1.0
         assert summary["goal_spread"] > 0.0  # goals actually sampled
-        assert len(summary["episodes"]) == 2
+        assert len(summary["episodes"]) == 3
         import json
 
         json.dumps(summary)  # JSON-serializable end to end
