@@ -57,12 +57,13 @@ corl:
 	$(PY) -m ppi_tpu.runners.corl_curves --seeds 5 --vmap-seeds \
 	    --dir results/corl
 
-# MPC success rates over the sampled goal distributions (5 resets per env,
-# one vmapped program each; results/goals/*.json)
+# MPC success rates over the sampled goal distributions (10 resets per env,
+# one vmapped program each — chunked where the env pins a chunk default;
+# results/goals/*.json)
 goals:
 	for e in pen-v0 pen-v0-hand relocate-v0 relocate-v0-hand \
 	    fetch-push fetch-pick; do \
-	    $(PY) -m ppi_tpu.runners.goal_success --env $$e --resets 5 \
+	    $(PY) -m ppi_tpu.runners.goal_success --env $$e --resets 10 \
 	        --dir results/goals || exit 1; done
 
 # reference profile_mpc.py
