@@ -174,6 +174,21 @@ class TestSampledGoals:
             assert np.linalg.norm(t - np.asarray(BOX_START)) \
                 >= GOAL_MIN_DIST - 1e-6
 
+    def test_fetch_push_goal_distribution_has_no_boundary_atom(self):
+        """The rejection sampler must not pile goal mass on the 0.1 m
+        minimum circle (the pre-review radial projection put ~35% of
+        draws exactly at GOAL_MIN_DIST; the Fetch reference resamples)."""
+        from ppi_tpu.envs.push import BOX_START, FetchPush, GOAL_MIN_DIST
+        env = FetchPush()
+        sample = jax.jit(jax.vmap(env.sample_goal))
+        goals = np.asarray(sample(jax.random.split(jax.random.key(0), 256)))
+        r = np.linalg.norm(goals - np.asarray(BOX_START), axis=1)
+        assert (r >= GOAL_MIN_DIST - 1e-6).all()
+        # under rejection, P(r exactly at the boundary) is ~0; under the
+        # old projection it was ~0.35
+        at_boundary = (np.abs(r - GOAL_MIN_DIST) < 1e-4).mean()
+        assert at_boundary < 0.05, at_boundary
+
 
 class TestFetchPickAndPlace:
     """FetchPickAndPlace-class env (VERDICT r2 missing #2; reference:
