@@ -4,7 +4,7 @@
 PY ?= python
 
 .PHONY: test bench perf opt policy-search mpc-cem mpc-lbps mpc-essps \
-	mpc-hand corl profile native
+	mpc-hand corl goals restarts profile native
 
 test:
 	$(PY) -m pytest tests/ -x -q
@@ -65,6 +65,14 @@ goals:
 	    fetch-push fetch-pick; do \
 	    $(PY) -m ppi_tpu.runners.goal_success --env $$e --resets 10 \
 	        --dir results/goals || exit 1; done
+
+# vmapped multi-start MPC on the fp-knife-edge hand tasks (the RESULTS.md
+# hammer-study conclusion as a feature: restarts are the cheap robustness
+# axis — 5 restarts cost less than one 512-sample episode)
+restarts:
+	for e in hammer-v0-hand door-v0-hand; do \
+	    $(PY) -m ppi_tpu.runners.multi_start --env $$e --restarts 5 \
+	        --dir results/restarts || exit 1; done
 
 # reference profile_mpc.py
 profile:

@@ -47,6 +47,38 @@ CONFIGS = {
 }
 
 
+def build_canonical_agent(env_name, cfg):
+    """env + jittable Mpc agent + initial policy state from a CONFIGS-style
+    dict (``alg``/``policy``/``timesteps``/``horizon``/``n_samples`` plus
+    optional hyperparameters). ``lengthscale`` may be the string ``"4dt"``
+    for the canonical 4 x env.dt choice. Shared with runners.multi_start."""
+    import jax.numpy as jnp
+
+    from ppi_tpu.algorithms import make_solver
+    from ppi_tpu.mpc import Mpc
+    from ppi_tpu.policies import design_moments, make_policy
+    from ppi_tpu.runners.run_mpc import ENVS
+
+    env = ENVS[env_name]()
+    ls = cfg.get("lengthscale", 1.0)
+    if ls == "4dt":
+        ls = 4 * env.dt
+    fam, pol = make_policy(
+        cfg["policy"], env.dt * jnp.arange(cfg["horizon"]), env.action_dim,
+        *design_moments(env.action_low, env.action_high, ratio=1000.0),
+        lengthscale=ls, beta=cfg.get("beta", 2.0),
+        lower=env.action_low, upper=env.action_high)
+    solver = make_solver(cfg["alg"], alpha=cfg.get("alpha", 10.0),
+                         delta=cfg.get("delta", 0.9),
+                         n_elites=cfg.get("n_elites", 10))
+    agent = Mpc(env=env, solver=solver, family=fam,
+                timesteps=cfg["timesteps"], horizon=cfg["horizon"],
+                n_samples=cfg["n_samples"],
+                n_iters=cfg.get("n_iters", 1),
+                anneal=cfg.get("anneal", 1.0))
+    return env, agent, pol
+
+
 def run(env_name: str, resets: int, warmstart: int = 50, overrides=None,
         base_key: int = 0, chunk: int = None):
     """Vmapped goal sweep; returns a JSON-serializable summary dict.
@@ -59,12 +91,6 @@ def run(env_name: str, resets: int, warmstart: int = 50, overrides=None,
     runtime fault at that shape, not a framework numerics issue (see
     RESULTS.md). Chunking is the workaround."""
     import jax
-    import jax.numpy as jnp
-
-    from ppi_tpu.algorithms import make_solver
-    from ppi_tpu.mpc import Mpc
-    from ppi_tpu.policies import design_moments, make_policy
-    from ppi_tpu.runners.run_mpc import ENVS
 
     cfg = dict(CONFIGS[env_name])
     cfg.update(overrides or {})
@@ -72,20 +98,7 @@ def run(env_name: str, resets: int, warmstart: int = 50, overrides=None,
         chunk = cfg.pop("chunk", None)
     else:
         cfg.pop("chunk", None)
-    env = ENVS[env_name]()
-    fam, pol = make_policy(
-        cfg["policy"], env.dt * jnp.arange(cfg["horizon"]), env.action_dim,
-        *design_moments(env.action_low, env.action_high, ratio=1000.0),
-        lengthscale=cfg.get("lengthscale", 1.0), beta=cfg.get("beta", 2.0),
-        lower=env.action_low, upper=env.action_high)
-    solver = make_solver(cfg["alg"], alpha=cfg.get("alpha", 10.0),
-                         delta=cfg.get("delta", 0.9),
-                         n_elites=cfg.get("n_elites", 10))
-    agent = Mpc(env=env, solver=solver, family=fam,
-                timesteps=cfg["timesteps"], horizon=cfg["horizon"],
-                n_samples=cfg["n_samples"],
-                n_iters=cfg.get("n_iters", 1),
-                anneal=cfg.get("anneal", 1.0))
+    env, agent, pol = build_canonical_agent(env_name, cfg)
 
     def one_episode(key):
         k_pol, k_env = jax.random.split(key)
@@ -98,23 +111,10 @@ def run(env_name: str, resets: int, warmstart: int = 50, overrides=None,
         return (track["reward"].sum(), env.success(es_f),
                 getattr(es, field), getattr(es_f, field))
 
+    from ppi_tpu.utils.batch import chunked_vmap
+
     keys = jax.random.split(jax.random.key(base_key), resets)
-    chunk = resets if chunk is None else max(1, min(chunk, resets))
-    if chunk == resets:
-        returns, succ, goals0, goals_f = jax.jit(jax.vmap(one_episode))(keys)
-    else:
-        prog = jax.jit(jax.vmap(one_episode))
-        parts = []
-        for i in range(0, resets, chunk):
-            ks = keys[i:i + chunk]
-            if ks.shape[0] < chunk:  # pad to the compiled chunk shape
-                pad = jnp.broadcast_to(ks[-1:], (chunk - ks.shape[0],))
-                ks = jnp.concatenate([ks, pad])
-            out = prog(ks)
-            parts.append(jax.tree.map(
-                lambda x, n=min(chunk, resets - i): x[:n], out))
-        returns, succ, goals0, goals_f = jax.tree.map(
-            lambda *xs: jnp.concatenate(xs), *parts)
+    returns, succ, goals0, goals_f = chunked_vmap(one_episode, keys, chunk)
     goals = np.asarray(goals0)
     assert np.allclose(goals, np.asarray(goals_f)), \
         "episode goal must be constant within an episode"

@@ -1,0 +1,121 @@
+"""Vmapped multi-start MPC: K solver restarts of ONE fixed task as one
+compiled program (chunkable), reporting per-restart returns and the
+any-success rate.
+
+Why this exists (RESULTS.md, hammer sample-scaling study): on knife-edge
+contact tasks, spending the TPU's cheap parallelism on MORE SAMPLES makes
+every temperature-search solver greedier and *lowers* the success odds,
+while independent solver seeds sample the success band directly — and on
+this hardware 5 restarts cost less than one 512-sample episode. The
+restart axis is the same spare-VPU-lane axis the goal sweeps ride
+(runners/goal_success.py); the task (env reset key, hence any sampled
+goal) is held fixed while the solver PRNG varies.
+
+The reference has no analogue (its process pool would multiply episode
+wall-clock by K); the capability is TPU-native. Usage:
+
+    python -m ppi_tpu.runners.multi_start --env hammer-v0-hand --restarts 5
+"""
+
+import argparse
+import json
+import pathlib
+import time
+
+# canonical configs for the non-goal-sampled dexterous tasks; the
+# goal-sampled envs reuse runners/goal_success.CONFIGS
+CONFIGS = {
+    "door-v0-hand": dict(alg="Lbps", policy="SquaredExponentialKernel",
+                         lengthscale="4dt", delta=0.9, n_iters=2, anneal=0.5,
+                         timesteps=250, horizon=30, n_samples=64, chunk=1),
+    # the free-hammer grasp is the fp-knife-edge task the study was run on
+    "hammer-v0-hand": dict(alg="Lbps", policy="SquaredExponentialKernel",
+                           lengthscale="4dt", delta=0.9, n_iters=2,
+                           anneal=0.5, timesteps=400, horizon=30,
+                           n_samples=128, chunk=1),
+    "door-v0": dict(alg="Lbps", policy="SquaredExponentialKernel",
+                    lengthscale=0.08, delta=0.9, n_iters=2, anneal=0.5,
+                    timesteps=250, horizon=30, n_samples=64),
+    "hammer-v0": dict(alg="Essps", policy="RffFeatures", lengthscale=0.15,
+                      n_elites=10, timesteps=250, horizon=30, n_samples=64),
+}
+
+
+def run(env_name: str, restarts: int, warmstart: int = 50, overrides=None,
+        base_key: int = 0, env_key: int = 0, chunk: int = None):
+    """K restarts of the canonical config on a fixed task; returns a
+    JSON-serializable summary. ``chunk`` as in goal_success (the hand
+    scenes default to chunk=1: sequential episodes sharing one compiled
+    program, dodging the vmap(K) x long-T XLA:TPU fault)."""
+    import jax
+
+    from ppi_tpu.runners.goal_success import CONFIGS as GOAL_CONFIGS
+    from ppi_tpu.runners.goal_success import build_canonical_agent
+    from ppi_tpu.utils.batch import chunked_vmap
+
+    cfg = dict(CONFIGS.get(env_name) or GOAL_CONFIGS[env_name])
+    cfg.update(overrides or {})
+    if chunk is None:
+        chunk = cfg.pop("chunk", None)
+    else:
+        cfg.pop("chunk", None)
+    env, agent, pol = build_canonical_agent(env_name, cfg)
+    es0 = env.reset(jax.random.key(env_key))  # ONE task, fixed across starts
+
+    def one_restart(key):
+        carry = agent.init(pol, key)
+        carry, _ = agent.warm_start(carry, es0, n_iters=warmstart)
+        carry, es_f, track = agent.run_episode_scan(carry, es0,
+                                                    collect=False)
+        return track["reward"].sum(), env.success(es_f)
+
+    keys = jax.random.split(jax.random.key(base_key), restarts)
+    t0 = time.perf_counter()
+    returns, succ = chunked_vmap(one_restart, keys, chunk)
+    returns = [float(r) for r in returns]
+    succ = [bool(s) for s in succ]
+    first = next((i for i, s in enumerate(succ) if s), None)
+    return {
+        "env": env_name, "config": {k: v for k, v in cfg.items()},
+        "restarts": restarts,
+        "success_any": any(succ),
+        "n_success": sum(succ),
+        "first_success": first,
+        "returns": [round(r, 1) for r in returns],
+        "best_return": round(max(returns), 1),
+        "wall_s": round(time.perf_counter() - t0, 1),
+    }
+
+
+def main(argv=None):
+    from ppi_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    envs = sorted(set(CONFIGS) | {"pen-v0", "pen-v0-hand", "relocate-v0",
+                                  "relocate-v0-hand", "fetch-push",
+                                  "fetch-pick"})
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--env", choices=envs, required=True)
+    p.add_argument("--restarts", type=int, default=5)
+    p.add_argument("--warmstart", type=int, default=50)
+    p.add_argument("--chunk", type=int, default=None)
+    p.add_argument("--env-key", type=int, default=0)
+    p.add_argument("--base-key", type=int, default=0)
+    p.add_argument("--dir", type=str, default=None)
+    args = p.parse_args(argv)
+    summary = run(args.env, args.restarts, warmstart=args.warmstart,
+                  base_key=args.base_key, env_key=args.env_key,
+                  chunk=args.chunk)
+    print(f"[{args.env}] success {summary['n_success']}/{args.restarts} "
+          f"(first at restart {summary['first_success']}), best return "
+          f"{summary['best_return']}, {summary['wall_s']} s")
+    if args.dir:
+        out = pathlib.Path(args.dir)
+        out.mkdir(parents=True, exist_ok=True)
+        path = out / f"{args.env}_restarts.json"
+        path.write_text(json.dumps(summary, indent=1))
+        print(f"wrote {path}")
+    return summary
+
+
+if __name__ == "__main__":
+    main()

@@ -105,3 +105,23 @@ class TestGoalSuccessRunner:
         import json
 
         json.dumps(summary)  # JSON-serializable end to end
+
+
+class TestMultiStartRunner:
+    def test_multi_start_fixed_task_chunked_matches(self):
+        """Vmapped solver restarts on ONE fixed task (the RESULTS.md
+        hammer-study conclusion as a feature): chunked == all-at-once,
+        task held fixed, returns vary only through the solver seed."""
+        from ppi_tpu.runners import multi_start as ms
+
+        ov = dict(timesteps=3, horizon=5, n_samples=8)
+        a = ms.run("fetch-push", restarts=3, warmstart=1, overrides=ov)
+        b = ms.run("fetch-push", restarts=3, warmstart=1, chunk=2,
+                   overrides=ov)
+        np.testing.assert_allclose(a["returns"], b["returns"], rtol=1e-5)
+        assert a["restarts"] == 3 and len(a["returns"]) == 3
+        assert len(set(a["returns"])) > 1  # solver seed actually varies
+        assert a["success_any"] == (a["n_success"] > 0)
+        import json
+
+        json.dumps(a)
