@@ -23,7 +23,8 @@ HORIZON = 160
 TARGET_MS = 100.0
 WARMUP = 12  # the first ~10 post-compile executions in a fresh process
 #              run up to 10x slow on the tunneled device (see RESULTS.md)
-ITERS = 10
+ITERS = 30  # ~0.1 s of measurement; the tunneled chip shows ~+/-0.5 ms
+#             run-to-run variance at 10 iters, ~halved at 30
 
 
 def build():
