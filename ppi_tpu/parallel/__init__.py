@@ -6,4 +6,5 @@ from ppi_tpu.parallel.mesh import (
     sample_sharding,
     shard_batch,
     sharded_mpc_objective,
+    sharded_objective,
 )

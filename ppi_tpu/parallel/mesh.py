@@ -102,6 +102,28 @@ def shard_batch(x, mesh: Mesh, axis: Union[str, Sequence[str]] = SAMPLE_AXIS):
     return jax.tree_util.tree_map(constrain, x)
 
 
+def sharded_objective(f, mesh: Mesh,
+                      axis: Union[str, Sequence[str]] = SAMPLE_AXIS):
+    """Shard the leading (sample) axis of ANY ``(key, actions) -> costs``
+    objective over the mesh — the generic counterpart of
+    ``sharded_mpc_objective`` for the black-box-optimization and episodic
+    policy-search paths (reference parallelism: the per-batch process pool
+    at policy_search/ball_in_a_cup.py:466-497 and the batched test
+    functions at optimization/functions.py:16-18).
+
+    Constraining the sampled batch is sufficient: XLA propagates the
+    sharding backward into the policy's sample transform and forward
+    through the evaluation into the solver's weighted-moment contractions,
+    which become per-shard partial sums + an all-reduce over ICI.
+    Objectives returning ``(costs, aux)`` pass through unchanged.
+    """
+
+    def g(key, actions):
+        return f(key, shard_batch(actions, mesh, axis))
+
+    return g
+
+
 def sharded_mpc_objective(env, state0, mesh: Mesh, horizon_mask=None,
                           guard: bool = True,
                           axis: Union[str, Sequence[str]] = SAMPLE_AXIS):

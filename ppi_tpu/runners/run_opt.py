@@ -48,6 +48,9 @@ def build_parser():
     parser.add_argument("--entropy-rate", type=float, default=0.99)
     parser.add_argument("--epsilon", type=float, default=0.1)
     parser.add_argument("--delta", type=float, default=0.5)
+    parser.add_argument("--mesh-devices", type=int, default=0,
+                        help="shard the sample axis over this many devices "
+                             "(0 = single-device vmap)")
 
     sub = parser.add_subparsers(title="sampling", dest="sampling",
                                 required=True)
@@ -70,6 +73,9 @@ def main(args):
     setup_logging(filepath, args)
 
     function = make_function(args.function, args.dimension, seed=args.seed)
+    if getattr(args, "mesh_devices", 0):
+        from ppi_tpu.parallel import make_mesh, sharded_objective
+        function = sharded_objective(function, make_mesh(args.mesh_devices))
     sampler = SAMPLER_NAMES[args.sampling]
     dim = args.dimension
     family = Gaussian(dim=dim, sampler=sampler,

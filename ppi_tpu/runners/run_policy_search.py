@@ -58,6 +58,9 @@ def build_parser():
     parser.add_argument("--entropy-rate", type=float, default=0.99)
     parser.add_argument("--epsilon", type=float, default=1.0)
     parser.add_argument("--delta", type=float, default=1.0)
+    parser.add_argument("--mesh-devices", type=int, default=0,
+                        help="shard the sample (trajectory) axis over this "
+                             "many devices (0 = single-device vmap)")
 
     sub = parser.add_subparsers(title="sampling", dest="sampling",
                                 required=True)
@@ -119,7 +122,12 @@ def main(args):
             save_checkpoint(ckpt_path, (state, key), step=start_iter + i + 1)
         return False
 
-    policy, trace = solve(solver, family, policy, env.objective(),
+    objective = env.objective()
+    if getattr(args, "mesh_devices", 0):
+        from ppi_tpu.parallel import make_mesh, sharded_objective
+        objective = sharded_objective(objective,
+                                      make_mesh(args.mesh_devices))
+    policy, trace = solve(solver, family, policy, objective,
                           key, args.n_samples,
                           args.n_iters - start_iter, callback=callback)
     success_rate = [float(v) for v in np.asarray(trace["success_rate"])]

@@ -368,3 +368,76 @@ class TestShardedEliteAndFixedSolvers:
                                    atol=1e-3)
         np.testing.assert_allclose(np.asarray(c_l.policy.mean),
                                    np.asarray(c_s.policy.mean), atol=1e-3)
+
+
+class TestShardedOptimizationPaths:
+    """Scale-out of the two NON-MPC sample-parallel workloads (the reference
+    parallelizes exactly these with its process pools — the per-batch
+    ``Pool(cpu_count())`` at policy_search/ball_in_a_cup.py:466-497 and the
+    batched test functions at optimization/functions.py:16-18; SURVEY.md §7
+    step 9): the black-box optimization loop and the episodic policy-search
+    loop, with the sample axis sharded via ``sharded_objective``, must match
+    the unsharded oracle. MORE is the interesting optimization case: its
+    quadratic-surrogate normal equations contract over the sharded sample
+    axis (solvers.py:254+), so this also closes the one solver the MPC mesh
+    matrix documents as out of scope there."""
+
+    SOLVERS = [
+        ("Reps", dict(epsilon=1.0)),
+        ("Lbps", dict(delta=0.9)),
+        ("More", dict(base_entropy=-100.0, entropy_rate=0.99)),
+    ]
+
+    @pytest.mark.parametrize("name,kw", SOLVERS,
+                             ids=[s[0] for s in SOLVERS])
+    def test_sharded_optimization_matches_16k(self, name, kw):
+        from ppi_tpu.algorithms import solve_scan
+        from ppi_tpu.envs.functions import make_function
+        from ppi_tpu.parallel import sharded_objective
+        from ppi_tpu.policies.gaussian import Gaussian
+
+        dim = 8
+        f = make_function("NoisySphere", dim, seed=0)
+        fam = Gaussian(dim=dim)
+        state0 = fam.init(jnp.ones(dim), 0.5 * jnp.eye(dim))
+        solver = make_solver(name, dimension=dim, **kw)
+        mesh = make_mesh(8)
+        n = 16384
+        s_l, t_l = solve_scan(solver, fam, state0, f,
+                              jax.random.key(0), n, 3)
+        s_s, t_s = solve_scan(solver, fam, state0,
+                              sharded_objective(f, mesh),
+                              jax.random.key(0), n, 3)
+        np.testing.assert_allclose(np.asarray(s_s.mu), np.asarray(s_l.mu),
+                                   atol=1e-3)
+        np.testing.assert_allclose(np.asarray(s_s.sigma),
+                                   np.asarray(s_l.sigma), atol=1e-3)
+        # the selected temperature stream must survive sharding too
+        np.testing.assert_allclose(np.asarray(t_s["alpha"]),
+                                   np.asarray(t_l["alpha"]), rtol=1e-2)
+
+    def test_sharded_policy_search_matches(self):
+        from ppi_tpu.algorithms import solve_scan
+        from ppi_tpu.envs.episodic import TestEnv
+        from ppi_tpu.parallel import sharded_objective
+
+        env = TestEnv()
+        fam, pol = make_policy(
+            "RbfFeatures", env.t, env.dim_action, env.action_0,
+            covariance_in=jnp.array([1e2]),
+            covariance_out=jnp.diag(jnp.array([1e-3] * env.dim_action)),
+            lengthscale=float(np.sqrt(3e-2)), n_features=20,
+            use_derivatives=True, add_bias=True)
+        solver = make_solver("Reps", epsilon=2.0)
+        mesh = make_mesh(8)
+        p_l, t_l = solve_scan(solver, fam, pol, env.objective(),
+                              jax.random.key(0), 1024, 3)
+        p_s, t_s = solve_scan(solver, fam, pol,
+                              sharded_objective(env.objective(), mesh),
+                              jax.random.key(0), 1024, 3)
+        np.testing.assert_allclose(np.asarray(p_s.mean),
+                                   np.asarray(p_l.mean), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(t_s["mean"]),
+                                   np.asarray(t_l["mean"]), rtol=1e-4)
+        # and the sharded search still optimizes (tracking cost drops)
+        assert float(t_s["mean"][-1]) < float(t_s["mean"][0])
