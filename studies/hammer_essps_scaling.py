@@ -5,7 +5,10 @@ collapse into the all-seeds knock-away mode LBPS shows at N=512.
 Same protocol otherwise: SE kernel, H=30, T=400, n_iters=2, anneal=0.5.
 """
 import json
+import pathlib
 import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 import time
 
 import jax

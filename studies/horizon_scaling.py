@@ -5,6 +5,10 @@ Isolates the policy/update path from physics: the cost is a fused
 quadratic, so the measured time is sampling (incl. the H x H or m x m
 Cholesky work), the weight/temperature search, and the moment match.
 """
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 import time
 
 import jax

@@ -1,4 +1,8 @@
 """Measure megakernel rollout time vs block size at awkward batch sizes."""
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 import time
 
 import jax
