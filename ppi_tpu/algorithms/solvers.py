@@ -310,6 +310,11 @@ class More(SolverBase):
         rewards = rewards / (masked_max(jnp.abs(rewards), batch.valid)
                              + jnp.finfo(rewards.dtype).tiny)
         rewards = rewards * 100.0
+        # Invalid lanes carry NaN/inf through the arithmetic above; zero them
+        # so the masked ridge fit (feats * valid) stays NaN-free — NaN * 0 is
+        # NaN, not 0 — and the ESS diagnostic stays finite on heavily-masked
+        # batches (base-loop contract C1: all-invalid => vacuous update).
+        rewards = jnp.where(batch.valid, rewards, 0.0)
 
         r0, r_lin, r_mat, rmse = self._fit_quadratic(w, rewards, batch.valid)
         # strictly negative-definite projection of the curvature

@@ -14,9 +14,15 @@ import jax.numpy as jnp
 from flax import struct
 
 from ppi_tpu import ops
-from ppi_tpu.samplers import SamplerKind, draw_base
+from ppi_tpu.samplers import SamplerKind, draw_base, inject_particles
 
 SIGMA_MIN = 1e-6
+# Pivot-conditioning threshold for the degenerate-covariance rank guard.
+# A rank-deficient weighted fit leaves its smallest Cholesky pivot at the
+# fp-noise floor sqrt(N * eps_f32) ~ 1e-3 relative (measured 5e-4 at N=64);
+# a healthy posterior needs condition > 1/tol^2 = 1e4 to get near it — and
+# the repair is only a SIGMA_MIN diagonal floor.
+RANK_TOL = 1e-2
 
 
 class GaussianState(struct.PyTreeNode):
@@ -25,6 +31,8 @@ class GaussianState(struct.PyTreeNode):
     chol: jax.Array        # (d, d) cholesky of sigma
     sigma_init: jax.Array  # (d, d)
     map_sequence: jax.Array  # (d,) best sample seen by elite methods
+    particles: jax.Array   # (K, d) iCEM reuse buffer (K >= 1)
+    n_particles: jax.Array  # scalar int32: live rows in the buffer
 
 
 @dataclasses.dataclass(frozen=True)
@@ -34,22 +42,41 @@ class Gaussian:
     dim: int
     sampler: SamplerKind = SamplerKind.MONTE_CARLO
     diagonal: bool = False  # factorized covariance (CEM convention)
+    max_particles: int = 1  # iCEM reuse buffer capacity
 
     name = "Gaussian"
 
     def init(self, mu: jnp.ndarray, sigma: jnp.ndarray) -> GaussianState:
         chol = jnp.linalg.cholesky(sigma)
+        k = max(1, self.max_particles)
         return GaussianState(
             mu=mu, sigma=sigma, chol=chol, sigma_init=sigma,
             map_sequence=mu,
+            particles=jnp.zeros((k, self.dim), sigma.dtype),
+            n_particles=jnp.zeros((), jnp.int32),
         )
 
     def sample(self, state: GaussianState, key: jax.Array, n: int):
         """Returns (samples, params); params are what weighted_update consumes
         (identical for the plain Gaussian)."""
         z = draw_base(self.sampler, key, n, self.dim)
+        if self.sampler == SamplerKind.PARTICLES:
+            # iCEM elite reuse: elites re-enter through the base batch and are
+            # re-transformed, matching the matrix-normal families (and the
+            # reference's Particles sampler, ppi/samplers.py:67-102).
+            z = inject_particles(z, state.particles, state.n_particles)
         samples = state.mu[None, :] + z @ state.chol.T
         return samples, samples
+
+    def set_particles(self, state: GaussianState, particles, n_live):
+        """Store reuse particles (elite params) into the fixed-size buffer."""
+        k = state.particles.shape[0]
+        buf = jnp.zeros_like(state.particles)
+        take = min(k, particles.shape[0])
+        buf = buf.at[:take].set(particles[:take])
+        return state.replace(
+            particles=buf,
+            n_particles=jnp.minimum(jnp.asarray(n_live, jnp.int32), k))
 
     def weighted_update(self, state: GaussianState, log_w, params,
                         update_covariance: bool = True):
@@ -58,6 +85,21 @@ class Gaussian:
             sigma_new = ops.factorized(sigma_new)
         if update_covariance:
             chol_new, ok = ops.safe_cholesky(sigma_new, jitter=0.0)
+            # Rank guard: a weight-collapsed batch (ESS -> 1) fits a
+            # numerically singular sigma whose Cholesky still "succeeds"
+            # with ~0 pivots (KL would be +inf, downstream sampling
+            # degenerate). Detected by pivot conditioning (RANK_TOL,
+            # relative) so healthy updates are untouched bit-for-bit, and
+            # repaired with a SIGMA_MIN eigenvalue floor.
+            pivots = jnp.diagonal(chol_new)
+            degenerate = ~(jnp.min(pivots) > RANK_TOL * jnp.max(pivots))
+            floored = sigma_new + SIGMA_MIN * jnp.eye(
+                self.dim, dtype=sigma_new.dtype)
+            chol_floored, ok_floored = ops.safe_cholesky(floored, jitter=0.0)
+            use_floor = ok & degenerate & ok_floored
+            sigma_new = jnp.where(use_floor, floored, sigma_new)
+            chol_new = jnp.where(use_floor, chol_floored, chol_new)
+            ok = ok & (~degenerate | ok_floored)
             # PD guard (reference: ppi/policies.py:259-268): on failure keep
             # the previous covariance, regularized — branchless select.
             sigma_reg = state.sigma + SIGMA_MIN * jnp.eye(self.dim)

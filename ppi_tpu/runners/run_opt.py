@@ -76,10 +76,15 @@ def main(args):
     if getattr(args, "mesh_devices", 0):
         from ppi_tpu.parallel import make_mesh, sharded_objective
         function = sharded_objective(function, make_mesh(args.mesh_devices))
-    sampler = SAMPLER_NAMES[args.sampling]
+    # iCEM reuses elites through the Particles sampler (MC + injection),
+    # mirroring run_mpc.py's wiring of the same solver.
+    use_particles = args.algorithm == "iCem"
+    sampler = (SAMPLER_NAMES["Particles"] if use_particles
+               else SAMPLER_NAMES[args.sampling])
     dim = args.dimension
     family = Gaussian(dim=dim, sampler=sampler,
-                      diagonal=args.algorithm == "Cem")
+                      diagonal=args.algorithm == "Cem",
+                      max_particles=max(1, int(0.33 * args.n_elites)))
     # canonical prior: mu = 1, Sigma = 0.5 I (reference: run_opt.py:57-62)
     state = family.init(jnp.ones(dim), 0.5 * jnp.eye(dim))
     solver = make_solver(

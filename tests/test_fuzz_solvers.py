@@ -1,0 +1,312 @@
+"""Property-based fuzzing of the solver zoo (hypothesis).
+
+The deterministic tests (test_algorithms.py / test_ops.py) pin each solver
+against oracles on well-behaved batches; this module instead throws
+adversarial cost batches at every solver — extreme magnitudes (1e-18..1e18),
+constant costs, NaN/Inf lanes up to the all-invalid batch — and asserts the
+invariants the optimizer base loop relies on (reference contract:
+ppi/algorithms.py:40-98, Base.filter + the per-solver weighting):
+
+  I1  the updated policy state is finite and its covariance stays PD;
+  I2  ESS is in [1, N] and temperature stats stay inside the search bracket;
+  I3  invalid lanes carry exactly zero posterior mass — garbage in a masked
+      lane's params cannot perturb the update (masking, not compaction);
+  I4  the min-max-normalizing solvers (REPS/AIS/LBPS/ESSPS) are invariant to
+      positive-affine cost rescalings; MPPI to shifts; CEM/iCEM to any
+      strictly increasing transform.
+
+All batches are built through ``mask_costs`` — the exact path the real
+iteration uses — so the fuzz covers the mask/vacuous-update semantics too.
+"""
+
+import functools
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from hypothesis import HealthCheck, example, given, settings
+from hypothesis import strategies as st
+
+from ppi_tpu import algorithms
+from ppi_tpu.algorithms.base import Batch, mask_costs
+from ppi_tpu.ops.scalar_opt import ALPHA_LOWER, ALPHA_UPPER
+from ppi_tpu.policies.gaussian import Gaussian
+
+N, DIM = 64, 3
+
+SOLVERS = {
+    "Cem": algorithms.Cem(n_elites=10),
+    "iCem": algorithms.iCem(n_elites=10),
+    "Reps": algorithms.Reps(epsilon=1.0),
+    "Mppi": algorithms.Mppi(alpha=10.0),
+    "MppiCov": algorithms.MppiUpdateCovariance(alpha=10.0),
+    "Ais": algorithms.Ais(alpha=10.0),
+    "Lbps": algorithms.Lbps(delta=0.9),
+    "Essps": algorithms.Essps(n_elites=10),
+    "More": algorithms.More(epsilon=0.1, dimension=DIM),
+}
+TEMPERATURE_SEARCHERS = ("Reps", "Lbps", "Essps")
+AFFINE_INVARIANT = ("Reps", "Ais", "Lbps", "Essps")
+
+_family = Gaussian(dim=DIM)
+_params = np.asarray(
+    jax.random.multivariate_normal(
+        jax.random.key(0), jnp.zeros(DIM), jnp.eye(DIM), (N,)))
+
+
+def _state():
+    return _family.init(jnp.zeros(DIM), 2.0 * jnp.eye(DIM))
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_update(name):
+    """One solver update through the real mask path, jitted once per solver."""
+    solver = SOLVERS[name]
+
+    def run(costs, params):
+        c, valid, log_valid = mask_costs(costs)
+        batch = Batch(c, params, valid, log_valid)
+        return solver.update(_family, _state(), batch)
+
+    return jax.jit(run)
+
+
+def _update(name, costs, params):
+    state, stats = _jitted_update(name)(jnp.asarray(costs, jnp.float32),
+                                        jnp.asarray(params, jnp.float32))
+    return jax.device_get(state), jax.device_get(stats)
+
+
+# strategy: N float32 costs with NaN/Inf allowed, magnitudes to 1e18 (large
+# enough to stress the min-max normalizer, small enough that hi-lo cannot
+# overflow float32), plus a scale factor so whole-batch magnitude varies too
+costs_strategy = st.lists(
+    st.one_of(
+        st.floats(min_value=np.float32(-1e18), max_value=np.float32(1e18),
+                  width=32),
+        st.sampled_from([np.nan, np.inf, -np.inf]),
+    ),
+    min_size=N, max_size=N,
+).map(lambda xs: np.asarray(xs, np.float32))
+
+
+class TestSolverInvariants:
+    @pytest.mark.parametrize("name", sorted(SOLVERS))
+    @settings(max_examples=25, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow], derandomize=True)
+    @example(np.zeros(N, np.float32))                       # constant costs
+    @example(np.full(N, np.nan, np.float32))                # all-invalid
+    @example(np.r_[1.0, [np.nan] * (N - 1)].astype(np.float32))  # one valid
+    @example(np.r_[[np.inf] * 32, [-np.inf] * 32].astype(np.float32))
+    @given(costs_strategy)
+    def test_finite_pd_and_bounded_stats(self, name, costs):
+        """I1 + I2 under arbitrary cost batches."""
+        state, stats = self._checked_update(name, costs)
+        del state, stats
+
+    @classmethod
+    def _checked_update(cls, name, costs, params=_params):
+        state, stats = _update(name, costs, params)
+        assert np.all(np.isfinite(state.mu)), (name, state.mu)
+        assert np.all(np.isfinite(state.sigma)), name
+        assert np.allclose(state.sigma, state.sigma.T, atol=1e-5), name
+        evals = np.linalg.eigvalsh(np.asarray(state.sigma, np.float64))
+        assert evals.min() > 0.0, (name, evals)
+        assert np.isfinite(stats["ess"]), name
+        assert 0.99 <= stats["ess"] <= N + 0.01, (name, stats["ess"])
+        assert np.isfinite(stats["kl"]), name
+        if name in TEMPERATURE_SEARCHERS:
+            assert ALPHA_LOWER * 0.99 <= stats["alpha"] <= ALPHA_UPPER * 1.01, (
+                name, stats["alpha"])
+        return state, stats
+
+
+class TestMaskedLaneInertness:
+    """I3: perturbing the params of masked lanes must not move the update."""
+
+    @pytest.mark.parametrize("name", sorted(SOLVERS))
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow], derandomize=True)
+    @given(costs_strategy, st.integers(min_value=0, max_value=2 ** 32 - 1))
+    def test_garbage_params_in_invalid_lanes_are_inert(self, name, costs,
+                                                       seed):
+        invalid = ~np.isfinite(costs)
+        if not invalid.any() or invalid.all():
+            return  # nothing masked, or the vacuous all-valid fallback
+        garbage = _params.copy()
+        rng = np.random.default_rng(seed)
+        garbage[invalid] = rng.uniform(-1e6, 1e6, (invalid.sum(), DIM))
+        s0, t0 = _update(name, costs, _params)
+        s1, t1 = _update(name, costs, garbage)
+        np.testing.assert_allclose(s0.mu, s1.mu, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(s0.sigma, s1.sigma, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(t0["ess"], t1["ess"], rtol=1e-5)
+
+
+# well-behaved (finite, O(1)) costs for the equivariance properties, where
+# float32 round-off of the transform itself must stay negligible
+tame_costs = st.lists(
+    st.floats(min_value=-100.0, max_value=100.0, allow_nan=False,
+              allow_infinity=False, width=32),
+    min_size=N, max_size=N,
+).map(lambda xs: np.asarray(xs, np.float32))
+
+
+class TestCostTransformEquivariance:
+    """I4: each solver's documented invariance class, fuzzed."""
+
+    @pytest.mark.parametrize("name", AFFINE_INVARIANT)
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow], derandomize=True)
+    @given(tame_costs,
+           st.floats(min_value=0.125, max_value=10.0, width=32),
+           st.floats(min_value=-5.0, max_value=5.0, width=32))
+    def test_minmax_solvers_affine_invariant(self, name, costs, a, b):
+        if np.ptp(costs) < 1e-3:
+            return  # near-constant batch: normalizer is degenerate by design
+        s0, t0 = _update(name, costs, _params)
+        s1, t1 = _update(name, a * costs + b, _params)
+        # Tolerances: the temperature duals are intentionally flat near their
+        # optimum (RESULTS.md zoom-search note), so the f32 round-off of
+        # a*costs+b can shift the selected alpha ~1%, tilting mu/sigma by up
+        # to ~1e-3 relative on adversarial batches. The invariance claim is
+        # at that resolution, not bit-exact.
+        np.testing.assert_allclose(s0.mu, s1.mu, rtol=1e-2, atol=1e-3)
+        np.testing.assert_allclose(s0.sigma, s1.sigma, rtol=1e-2, atol=1e-3)
+        np.testing.assert_allclose(t0["alpha"], t1["alpha"], rtol=3e-2)
+
+    @pytest.mark.parametrize("name", ["Mppi", "MppiCov"])
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow], derandomize=True)
+    @given(tame_costs, st.floats(min_value=-50.0, max_value=50.0, width=32))
+    def test_mppi_shift_invariant(self, name, costs, b):
+        s0, _ = _update(name, costs, _params)
+        s1, _ = _update(name, costs + b, _params)
+        np.testing.assert_allclose(s0.mu, s1.mu, rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(s0.sigma, s1.sigma, rtol=1e-3, atol=1e-4)
+
+    @pytest.mark.parametrize("name", ["Cem", "iCem"])
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow], derandomize=True)
+    @given(tame_costs)
+    def test_elite_solvers_monotone_invariant(self, name, costs):
+        if len(np.unique(costs)) < N:
+            return  # duplicate costs: elite sets may legitimately tie-break
+        s0, t0 = _update(name, costs, _params)
+        s1, t1 = _update(name, np.asarray(costs, np.float32) ** 3, _params)
+        np.testing.assert_allclose(s0.mu, s1.mu, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(s0.sigma, s1.sigma, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(s0.map_sequence, s1.map_sequence,
+                                   rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Matrix-valued families (the MPC path): the same adversarial cost batches
+# through the mavn/noise weighted updates (reference: ppi/policies.py:479-516
+# features / 804-848 kernels).
+
+from ppi_tpu.policies import design_moments, make_policy  # noqa: E402
+
+_H, _DA = 8, 2
+_T = np.linspace(0.0, 1.0, _H)
+
+
+@functools.lru_cache(maxsize=None)
+def _matrix_family(kind):
+    mean, ci, co = design_moments(-jnp.ones(_DA), jnp.ones(_DA), 100.0)
+    family, state = make_policy(
+        kind, _T, _DA, mean, ci, co,
+        lengthscale=0.3, n_features=6, order=3,
+        lower=-jnp.ones(_DA), upper=jnp.ones(_DA))
+    return family, state
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_matrix_update(kind, solver_name):
+    family, state0 = _matrix_family(kind)
+    solver = SOLVERS_MPC[solver_name]
+
+    def run(costs, params):
+        c, valid, log_valid = mask_costs(costs)
+        batch = Batch(c, params, valid, log_valid)
+        return solver.update(family, state0, batch)
+
+    return jax.jit(run)
+
+
+SOLVERS_MPC = {
+    "Cem": algorithms.Cem(n_elites=10),
+    "iCem": algorithms.iCem(n_elites=10),
+    "Reps": algorithms.Reps(epsilon=1.0),
+    "Mppi": algorithms.Mppi(alpha=10.0),
+    "MppiCov": algorithms.MppiUpdateCovariance(alpha=10.0),
+    "Ais": algorithms.Ais(alpha=10.0),
+    "Lbps": algorithms.Lbps(delta=0.9),
+    "Essps": algorithms.Essps(n_elites=10),
+}
+MATRIX_FAMILIES = ("SquaredExponentialKernel", "RffFeatures", "ColouredNoise")
+
+
+def _matrix_params(kind):
+    family, state = _matrix_family(kind)
+    samples, params = family.sample(state, jax.random.key(1), N)
+    del samples
+    return np.asarray(params)
+
+
+class TestMatrixFamilyInvariants:
+    """I1-I3 for the MPC-path families under every MPC-usable solver."""
+
+    @pytest.mark.parametrize("kind", MATRIX_FAMILIES)
+    @pytest.mark.parametrize("name", sorted(SOLVERS_MPC))
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow], derandomize=True)
+    @example(np.zeros(N, np.float32))
+    @example(np.full(N, np.nan, np.float32))
+    @example(np.r_[1.0, [np.nan] * (N - 1)].astype(np.float32))
+    @given(costs_strategy)
+    def test_finite_pd_and_bounded_stats(self, kind, name, costs):
+        params = _matrix_params(kind)
+        state, stats = _jitted_matrix_update(kind, name)(
+            jnp.asarray(costs, jnp.float32), jnp.asarray(params, jnp.float32))
+        state, stats = jax.device_get((state, stats))
+        assert np.all(np.isfinite(state.mean)), (kind, name)
+        assert np.all(np.isfinite(state.map_sequence)), (kind, name)
+        if hasattr(state, "cov_in"):
+            assert np.all(np.isfinite(state.cov_in)), (kind, name)
+            evals = np.linalg.eigvalsh(np.asarray(state.cov_in, np.float64))
+            assert evals.min() > 0.0, (kind, name, evals)
+        else:  # noise families carry a factorized std instead
+            assert np.all(np.isfinite(state.std)), (kind, name)
+            assert np.all(np.asarray(state.std) >= 0.0), (kind, name)
+        assert np.isfinite(stats["ess"]), (kind, name)
+        assert 0.99 <= stats["ess"] <= N + 0.01, (kind, name, stats["ess"])
+        if name in TEMPERATURE_SEARCHERS:
+            assert ALPHA_LOWER * 0.99 <= stats["alpha"] <= ALPHA_UPPER * 1.01
+
+    @pytest.mark.parametrize("kind", MATRIX_FAMILIES)
+    @pytest.mark.parametrize("name", ["Lbps", "Mppi", "Cem"])
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow], derandomize=True)
+    @given(costs_strategy, st.integers(min_value=0, max_value=2 ** 32 - 1))
+    def test_masked_lane_inertness(self, kind, name, costs, seed):
+        invalid = ~np.isfinite(costs)
+        if not invalid.any() or invalid.all():
+            return
+        params = _matrix_params(kind)
+        garbage = params.copy()
+        rng = np.random.default_rng(seed)
+        garbage[invalid] = rng.uniform(-1e6, 1e6,
+                                       (invalid.sum(),) + params.shape[1:])
+        upd = _jitted_matrix_update(kind, name)
+        s0, t0 = jax.device_get(upd(jnp.asarray(costs), jnp.asarray(params)))
+        s1, t1 = jax.device_get(upd(jnp.asarray(costs), jnp.asarray(garbage)))
+        np.testing.assert_allclose(s0.mean, s1.mean, rtol=1e-5, atol=1e-6)
+        if hasattr(s0, "cov_in"):
+            np.testing.assert_allclose(s0.cov_in, s1.cov_in,
+                                       rtol=1e-5, atol=1e-6)
+        else:
+            np.testing.assert_allclose(s0.std, s1.std, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(t0["ess"], t1["ess"], rtol=1e-5)
