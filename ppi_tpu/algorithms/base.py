@@ -60,10 +60,19 @@ def masked_mean_std(costs, valid):
 
 def minmax_normalize(costs, valid):
     """Min-max cost normalization over valid lanes (used by REPS/AIS/LBPS/
-    ESSPS; reference: ppi/algorithms.py:184)."""
+    ESSPS; reference: ppi/algorithms.py:184).
+
+    Masked lanes are zeroed: their placeholder costs normalized by a
+    near-degenerate range reach ~1e38, and -alpha * 1e38 overflows f32 to
+    Inf, which the additive -Inf log-mask then turns into NaN (backend-
+    dependent — XLA:TPU's fusion hits it where XLA:CPU's happens not to;
+    found by the solver fuzz suite on device). Their value is irrelevant
+    anyway: the -Inf log-mask removes them from every weighting.
+    """
     lo = masked_min(costs, valid)
     hi = masked_max(costs, valid)
-    return (costs - lo) / (hi - lo + jnp.finfo(costs.dtype).tiny)
+    cn = (costs - lo) / (hi - lo + jnp.finfo(costs.dtype).tiny)
+    return jnp.where(valid, cn, 0.0)
 
 
 def null_callback(iteration, f, actions, costs, policy_state) -> bool:
