@@ -3,8 +3,8 @@
 
 PY ?= python
 
-.PHONY: test bench perf opt policy-search mpc-cem mpc-lbps mpc-essps \
-	mpc-hand corl goals restarts profile native
+.PHONY: test bench perf fuzz-tpu opt policy-search mpc-cem mpc-lbps \
+	mpc-essps mpc-hand corl goals restarts profile native
 
 test:
 	$(PY) -m pytest tests/ -x -q
@@ -16,6 +16,13 @@ bench:
 # PPI_TPU_TEST_PLATFORM=axon routes the suite onto the real TPU backend
 perf:
 	PPI_TPU_TEST_PLATFORM=axon $(PY) -m pytest tests/test_perf.py -v
+
+# property-based solver/rollout fuzzing on the REAL TPU numerics (the CPU
+# mesh runs these too, but Mosaic-compiled kernels and TPU fusion differ —
+# this is what caught the min-max overflow NaN)
+fuzz-tpu:
+	PPI_TPU_TEST_PLATFORM=axon $(PY) -m pytest tests/test_fuzz_solvers.py \
+	    tests/test_fuzz_envs.py -q
 
 # reference Makefile:8-9
 opt:

@@ -310,3 +310,54 @@ class TestMatrixFamilyInvariants:
         else:
             np.testing.assert_allclose(s0.std, s1.std, rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(t0["ess"], t1["ess"], rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Compiled Mosaic kernel vs the XLA path, on device only (the interpret-mode
+# equality lives in test_ops.py; Mosaic's compiled numerics are what MPC
+# actually runs at scale).
+
+def _oracle_m_projection(lw, x):
+    lw = lw.astype(np.float64)
+    x = x.astype(np.float64)
+    w = np.exp(lw - lw[np.isfinite(lw)].max())
+    w[~np.isfinite(lw)] = 0.0
+    w /= w.sum()
+    mu = w @ x
+    d = x - mu
+    sigma = (w[:, None] * d).T @ d
+    return mu, sigma, 1.0 / np.sum(w ** 2)
+
+
+@pytest.mark.skipif(jax.default_backend() == "cpu",
+                    reason="compiled Mosaic kernel needs the TPU backend")
+class TestPallasMomentMatchDeviceFuzz:
+    """Compiled-Mosaic and XLA m-projections vs a float64 oracle, on device.
+
+    Measured accuracy vs the oracle (4096 x 64, heavy-tailed log-weights
+    scale 3, i.e. weights spanning e^+-9): the fused kernel is 10-100x
+    closer on mu (1e-7 vs up to 7e-5) and ess (1e-8 vs 1e-4); sigma sits
+    at the f32 accumulation noise floor ~1e-2 absolute for BOTH paths —
+    so each path is pinned to the oracle (path-vs-path equality at f32
+    would be a vacuously loose bound)."""
+
+    @settings(max_examples=20, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow], derandomize=True)
+    @given(st.integers(min_value=0, max_value=2 ** 31 - 1),
+           st.integers(min_value=0, max_value=3))
+    def test_both_paths_match_float64_oracle(self, seed, n_masked_q):
+        from ppi_tpu.ops.moment_match import m_projection
+        n, d = 4096, 64  # above the Pallas dispatch threshold
+        rng = np.random.default_rng(seed)
+        x = rng.normal(size=(n, d)).astype(np.float32)
+        lw = rng.normal(scale=3.0, size=n).astype(np.float32)
+        lw[rng.permutation(n)[: (n * n_masked_q) // 4]] = -np.inf
+        mu_o, s_o, e_o = _oracle_m_projection(lw, x)
+        for mode in ("never", "always"):
+            mu, s, e = jax.device_get(jax.jit(
+                lambda l, smp, m=mode: m_projection(l, smp, use_pallas=m))(
+                    lw, x))
+            np.testing.assert_allclose(mu, mu_o, atol=5e-4, err_msg=mode)
+            np.testing.assert_allclose(s, s_o, rtol=2e-2, atol=5e-2,
+                                       err_msg=mode)
+            np.testing.assert_allclose(e, e_o, rtol=1e-3, err_msg=mode)
