@@ -22,7 +22,7 @@ perf:
 # this is what caught the min-max overflow NaN)
 fuzz-tpu:
 	PPI_TPU_TEST_PLATFORM=axon $(PY) -m pytest tests/test_fuzz_solvers.py \
-	    tests/test_fuzz_envs.py -q
+	    tests/test_fuzz_envs.py tests/test_fuzz_mpc.py -q
 
 # reference Makefile:8-9
 opt:
