@@ -183,6 +183,38 @@ class TestWeighting:
         expect_actions = fam.synth(state, expect_shift)
         np.testing.assert_allclose(np.asarray(xs_a[:3]),
                                    np.asarray(expect_actions), atol=1e-5)
+
+    def test_icem_on_episodic_gaussian(self):
+        """iCem on the plain episodic Gaussian (run_opt's family; r3 fuzz
+        found this crashed — no particle support). Elites are stored and
+        reappear in the next batch through the same base-lane injection as
+        the matrix families (reference: ppi/samplers.py:93-98)."""
+        from ppi_tpu.policies.gaussian import Gaussian
+        from ppi_tpu.samplers import SamplerKind
+        fam = Gaussian(dim=3, sampler=SamplerKind.PARTICLES, max_particles=3)
+        state = fam.init(jnp.zeros(3), jnp.eye(3))
+        _, params = fam.sample(state, jax.random.key(0), 16)
+        solver = algorithms.iCem(n_elites=10)  # n_reuse = 3
+        elite_rows = [5, 9, 1]
+        costs = 10.0 + jnp.arange(16.0)
+        for rank, row in enumerate(elite_rows):
+            costs = costs.at[row].set(float(rank))
+        c, v, lv = mask_costs(costs)
+        state, _ = solver.update(fam, state, Batch(c, params, v, lv))
+        assert int(state.n_particles) == 3
+        np.testing.assert_allclose(np.asarray(state.particles),
+                                   np.asarray(params[jnp.array(elite_rows)]),
+                                   atol=1e-6)
+        # leading lanes of the next batch are key-independent and equal the
+        # re-transformed elites (mu + particle @ chol.T, the same quirky
+        # base-space injection the reference uses)
+        xs_a, _ = fam.sample(state, jax.random.key(1), 16)
+        xs_b, _ = fam.sample(state, jax.random.key(2), 16)
+        np.testing.assert_allclose(np.asarray(xs_a[:3]),
+                                   np.asarray(xs_b[:3]), atol=1e-6)
+        expect = state.mu[None, :] + state.particles @ state.chol.T
+        np.testing.assert_allclose(np.asarray(xs_a[:3]), np.asarray(expect),
+                                   atol=1e-5)
         assert float(jnp.abs(xs_a[3:] - xs_b[3:]).max()) > 1e-3
 
 
