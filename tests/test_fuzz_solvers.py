@@ -26,6 +26,7 @@ import pytest
 
 import jax
 import jax.numpy as jnp
+pytest.importorskip("hypothesis")  # property tests are optional-dep
 from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
