@@ -85,21 +85,22 @@ class Gaussian:
             sigma_new = ops.factorized(sigma_new)
         if update_covariance:
             chol_new, ok = ops.safe_cholesky(sigma_new, jitter=0.0)
-            # Rank guard: a weight-collapsed batch (ESS -> 1) fits a
-            # numerically singular sigma whose Cholesky still "succeeds"
-            # with ~0 pivots (KL would be +inf, downstream sampling
-            # degenerate). Detected by pivot conditioning (RANK_TOL,
-            # relative) so healthy updates are untouched bit-for-bit, and
-            # repaired with a SIGMA_MIN eigenvalue floor.
+            # Rank guard: a weight-collapsed batch (ESS -> d or below) fits a
+            # numerically singular sigma whose jnp Cholesky can still
+            # "succeed" with ~0 pivots (NumPy's raises there, so the
+            # reference reverts — ppi/policies.py:259-268). Detect it by
+            # pivot conditioning (RANK_TOL, relative) and treat it as a
+            # failure so the repair below is the SAME on both sides of the
+            # success/NaN fp knife edge: an exactly rank-deficient fit (e.g.
+            # two effective samples in d=3) sits precisely where Cholesky
+            # success is decided by rounding noise, and "floor the fit" vs
+            # "revert to previous" are wildly different posteriors (found by
+            # the solver fuzz suite: shift-equivariance of MPPI-cov broke
+            # only under the 8-device CPU config whose fusion rounds the
+            # other way). Healthy updates are untouched bit-for-bit.
             pivots = jnp.diagonal(chol_new)
             degenerate = ~(jnp.min(pivots) > RANK_TOL * jnp.max(pivots))
-            floored = sigma_new + SIGMA_MIN * jnp.eye(
-                self.dim, dtype=sigma_new.dtype)
-            chol_floored, ok_floored = ops.safe_cholesky(floored, jitter=0.0)
-            use_floor = ok & degenerate & ok_floored
-            sigma_new = jnp.where(use_floor, floored, sigma_new)
-            chol_new = jnp.where(use_floor, chol_floored, chol_new)
-            ok = ok & (~degenerate | ok_floored)
+            ok = ok & ~degenerate
             # PD guard (reference: ppi/policies.py:259-268): on failure keep
             # the previous covariance, regularized — branchless select.
             sigma_reg = state.sigma + SIGMA_MIN * jnp.eye(self.dim)
