@@ -81,12 +81,19 @@ class FetchPickAndPlace:
     def action_high(self):
         return np.array([1.5, 1.2, 2.0, 2.0, 0.6, 1.1])
 
+    @property
+    def target(self):
+        """Legacy fixed goal (renderer fallback / ``fixed_goal`` mode) —
+        mirrors ``Relocate.target`` so ``render_relocate``'s default-target
+        fallback works when no per-episode goal is passed."""
+        return jnp.array([BALL_START[0] + 0.04, 0.16,
+                          TABLE_Z + BALL_RADIUS + 0.22])
+
     def sample_goal(self, key):
         """Fetch sampling: xy about the object start; in the air with
         probability 0.5, else on the table surface."""
         if self.fixed_goal:
-            return jnp.array([BALL_START[0] + 0.04, 0.16,
-                              TABLE_Z + BALL_RADIUS + 0.22])
+            return self.target
         k_xy, k_air, k_z = jax.random.split(key, 3)
         xy = jnp.asarray(BALL_START) + jax.random.uniform(
             k_xy, (2,), minval=-GOAL_RANGE_XY, maxval=GOAL_RANGE_XY)

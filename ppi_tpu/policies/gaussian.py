@@ -18,11 +18,16 @@ from ppi_tpu.samplers import SamplerKind, draw_base, inject_particles
 
 SIGMA_MIN = 1e-6
 # Pivot-conditioning threshold for the degenerate-covariance rank guard.
-# A rank-deficient weighted fit leaves its smallest Cholesky pivot at the
-# fp-noise floor sqrt(N * eps_f32) ~ 1e-3 relative (measured 5e-4 at N=64);
-# a healthy posterior needs condition > 1/tol^2 = 1e4 to get near it — and
-# the repair is only a SIGMA_MIN diagonal floor.
-RANK_TOL = 1e-2
+# Calibrated from both sides: a rank-deficient weighted fit whose Cholesky
+# "succeeds" leaves its smallest pivot at the fp-noise floor ~5e-4 relative
+# (measured at N=64; exactly-singular fits otherwise NaN outright), while a
+# HEALTHY anisotropic fit has pivot ratio ~ 1/std_ratio (measured: 1.05e-2
+# at std ratio 100, 3.4e-3 at 300, 9.9e-4 at 1000). 2e-3 keeps 4x margin
+# above the singular-success floor — so both sides of the success/NaN knife
+# edge still classify as degenerate and the repair stays deterministic —
+# without rejecting genuine posteriors below condition ~2.5e5 (the earlier
+# 1e-2 silently froze covariance adaptation at std ratios >~ 100).
+RANK_TOL = 2e-3
 
 
 class GaussianState(struct.PyTreeNode):

@@ -243,3 +243,15 @@ class TestFetchPickAndPlace:
             jax.random.key(1), (6, 30, 6))
         _, rew = batch_rollout(env, s0, acts)
         assert np.isfinite(np.asarray(rew)).all()
+
+    def test_render_default_target_fallback(self, tmp_path):
+        # Regression: render_relocate's default-target path reads
+        # env.target, which FetchPickAndPlace didn't define (AttributeError
+        # on any render call that omitted the sampled goal).
+        from ppi_tpu import render
+        from ppi_tpu.envs.fetch_pick import FetchPickAndPlace
+        env = FetchPickAndPlace(fixed_goal=True)
+        s0 = env.reset(jax.random.key(0))
+        qh = np.tile(np.asarray(s0.physics.qpos)[None], (4, 1))
+        out = render.render_relocate(env, qh, str(tmp_path / "f.gif"))
+        assert (tmp_path / "f.gif").exists(), out

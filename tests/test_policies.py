@@ -83,6 +83,23 @@ class TestGaussian:
         # either tiny regularized new covariance or reverted previous one
         assert np.linalg.eigvalsh(np.asarray(new.sigma)).min() > 0
 
+    def test_rank_guard_accepts_healthy_anisotropic_fit(self):
+        # Regression: RANK_TOL=1e-2 silently rejected full-rank fits with
+        # std ratio >~ 100 (pivot ratio 1/std_ratio), permanently freezing
+        # covariance adaptation. A condition-1e4..1e5 posterior is healthy
+        # in f32 and must be ACCEPTED by the degenerate-rank guard.
+        fam = Gaussian(dim=2)
+        state = fam.init(jnp.zeros(2), jnp.eye(2))
+        for std_ratio in (100.0, 300.0):
+            s = jax.random.normal(jax.random.key(1), (4096, 2)) * jnp.array(
+                [1.0, 1.0 / std_ratio])
+            new, ess, _ = fam.weighted_update(state, jnp.zeros(4096), s)
+            fitted = np.diag(np.asarray(new.sigma))
+            # the small axis must have shrunk by orders of magnitude —
+            # i.e. the fit was kept, not reverted to the previous sigma
+            assert fitted[1] < 1e-2, (std_ratio, fitted)
+            np.testing.assert_allclose(fitted[0], 1.0, rtol=0.1)
+
     def test_diagonal_mode(self):
         fam = Gaussian(dim=3, diagonal=True)
         state = fam.init(jnp.zeros(3), jnp.eye(3))
