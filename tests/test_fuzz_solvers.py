@@ -146,6 +146,45 @@ class TestMaskedLaneInertness:
         np.testing.assert_allclose(t0["ess"], t1["ess"], rtol=1e-5)
 
 
+class TestRankGuardAcceptsHealthyFits:
+    """I5: the degenerate-rank guard must never reject a genuine posterior.
+
+    The guard's tolerance was recalibrated after a review pass found
+    RANK_TOL=1e-2 silently reverting full-rank anisotropic fits (pivot
+    ratio ~ 1/std_ratio, so condition > ~1e4 tripped it and covariance
+    adaptation froze). Property: for any full-rank batch with condition
+    <= 1e4 and mild weights, weighted_update keeps a fit close to the
+    float64 oracle covariance — in particular its smallest eigenvalue,
+    the quantity a revert-to-prior would inflate by orders of magnitude.
+    """
+
+    @settings(max_examples=20, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow], derandomize=True)
+    @given(st.integers(min_value=0, max_value=2 ** 31 - 1),
+           st.sampled_from([2, 3, 5]),
+           st.floats(min_value=1.0, max_value=100.0, width=32))
+    def test_conditioned_fit_is_kept(self, seed, d, std_ratio):
+        n = 2048
+        rng = np.random.default_rng(seed)
+        stds = np.geomspace(1.0, 1.0 / std_ratio, d)
+        rot = np.linalg.qr(rng.normal(size=(d, d)))[0]
+        x = (rng.normal(size=(n, d)) * stds) @ rot.T
+        x = x.astype(np.float32)
+        lw = rng.normal(scale=0.5, size=n).astype(np.float32)  # mild weights
+        fam = Gaussian(dim=d)
+        state = fam.init(jnp.zeros(d), jnp.eye(d))
+        new, ess, _ = fam.weighted_update(state, jnp.asarray(lw),
+                                          jnp.asarray(x))
+        mu_o, sigma_o, _ = _oracle_m_projection(lw, x)
+        ev = np.linalg.eigvalsh(np.asarray(new.sigma, np.float64))
+        ev_o = np.linalg.eigvalsh(sigma_o)
+        # a reverted update would leave min-eig at the prior's 1.0; the kept
+        # fit tracks the oracle's smallest axis (f32 accumulation slack 2x)
+        assert ev.min() < 2.0 * ev_o.min() + 1e-6, (ev, ev_o)
+        np.testing.assert_allclose(np.asarray(new.mu), mu_o,
+                                   rtol=1e-3, atol=1e-4)
+
+
 # well-behaved (finite, O(1)) costs for the equivariance properties, where
 # float32 round-off of the transform itself must stay negligible
 tame_costs = st.lists(
