@@ -68,9 +68,32 @@ for n in ns:
         state, (stats, _, costs) = step(state, sub)
     jax.block_until_ready(costs)
     ms = (time.perf_counter() - t0) / ITERS * 1e3
+
+    # deployment-path variant: the same iteration under lax.scan (how the
+    # MPC agent executes it — no per-iteration host dispatch; see
+    # studies/northstar_scan_vs_host.py and the bench.py headline)
+    @jax.jit
+    def scanned(state, key, step=step):
+        def body(carry, k):
+            s, (st, _, c) = step(carry, k)
+            return s, st["mean"]
+        return jax.lax.scan(body, state, jax.random.split(key, ITERS))
+
+    state2 = policy
+    for i in range(3):
+        state2, means = scanned(state2, jax.random.key(100 + i))
+    jax.block_until_ready(means)
+    t0 = time.perf_counter()
+    for i in range(3):
+        state2, means = scanned(state2, jax.random.key(200 + i))
+    jax.block_until_ready(means)
+    ms_scan = (time.perf_counter() - t0) / (3 * ITERS) * 1e3
+
     substeps = n * HORIZON * 2  # 2 physics substeps per env step
     print(json.dumps({
         "n_samples": n, "ms_per_iter": round(ms, 3),
-        "env_substeps_per_s": int(substeps / (ms / 1e3)),
+        "ms_per_iter_in_scan": round(ms_scan, 3),
+        "env_substeps_per_s": int(substeps / (ms_scan / 1e3)),
+        "env_substeps_per_s_host_stepped": int(substeps / (ms / 1e3)),
         "backend": jax.default_backend(),
     }), flush=True)
