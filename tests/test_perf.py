@@ -22,6 +22,12 @@ pytestmark = pytest.mark.skipif(not ON_ACCEL,
 BUDGET_MS = 15.0
 BUDGET_MS_16K = 60.0  # steady scan-path 16k iteration measures ~23 ms;
 #                       the megakernel path ~9.5 ms (RESULTS.md)
+# Deployment path (megakernel rollout + iterations under lax.scan, the way
+# the MPC agent executes): measured 0.71-0.76 ms with low run-to-run
+# variance (studies/northstar_scan_vs_host.py) — a 3 ms budget is ~4x
+# headroom yet still catches sub-order-of-magnitude regressions the
+# dispatch-noisy host-stepped budgets above cannot.
+BUDGET_MS_DEPLOYED = 3.0
 
 
 def _time_iterations(step, policy, iters=5):
@@ -72,6 +78,47 @@ class TestPerfBudgets:
         step, policy = _north_star_step(16384)
         ms = _time_iterations(step, policy, iters=3)
         assert ms < BUDGET_MS_16K, f"{ms:.2f} ms > {BUDGET_MS_16K} ms"
+
+    def test_deployed_iteration_under_budget(self):
+        """The bench.py headline path: megakernel rollout + all iterations
+        in-graph under lax.scan (how Mpc executes them)."""
+        from ppi_tpu.algorithms import make_solver
+        from ppi_tpu.algorithms.base import _one_iteration
+        from ppi_tpu.envs.door import Door
+        from ppi_tpu.envs.physics.pallas_rollout import pallas_mpc_objective
+        from ppi_tpu.policies import design_moments, make_policy
+
+        n, horizon = 1024, 160
+        env = Door()
+        mean, ci, co = design_moments(env.action_low, env.action_high,
+                                      1000.0)
+        family, policy = make_policy(
+            "SquaredExponentialKernel", env.dt * jnp.arange(horizon),
+            env.action_dim, mean, ci, co, lengthscale=4 * env.dt,
+            lower=env.action_low, upper=env.action_high)
+        solver = make_solver("Lbps", delta=0.9)
+        f = pallas_mpc_objective(env, env.reset(jax.random.key(0)), horizon,
+                                 block=n)
+        step = _one_iteration(solver, family, f, n)
+
+        @jax.jit
+        def scanned(state, key):
+            def body(carry, k):
+                s, (st, _, _) = step(carry, k)
+                return s, st["mean"]
+            return jax.lax.scan(body, state, jax.random.split(key, 30))
+
+        state = policy
+        for i in range(3):
+            state, means = scanned(state, jax.random.key(i))
+        jax.block_until_ready(means)
+        t0 = time.perf_counter()
+        for i in range(3):
+            state, means = scanned(state, jax.random.key(10 + i))
+        jax.block_until_ready(means)
+        ms = 1e3 * (time.perf_counter() - t0) / 90
+        assert ms < BUDGET_MS_DEPLOYED, \
+            f"{ms:.3f} ms > {BUDGET_MS_DEPLOYED} ms deployment budget"
 
 
 class TestDoorHandOnDevice:
