@@ -64,12 +64,13 @@ corl:
 	$(PY) -m ppi_tpu.runners.corl_curves --seeds 5 --vmap-seeds \
 	    --dir results/corl
 
-# MPC success rates over the sampled goal distributions (10 resets per env,
-# one vmapped program each — chunked where the env pins a chunk default;
-# results/goals/*.json)
+# MPC success rates over the sampled goal/scene distributions (10 resets
+# per env, one vmapped program each — chunked where the env pins a chunk
+# default; results/goals/*.json). door/hammer sample SCENE geometry (frame
+# / board height) per reset; the rest sample goals and object starts.
 goals:
 	for e in pen-v0 pen-v0-hand relocate-v0 relocate-v0-hand \
-	    fetch-push fetch-pick; do \
+	    fetch-push fetch-pick door-v0 hammer-v0; do \
 	    $(PY) -m ppi_tpu.runners.goal_success --env $$e --resets 10 \
 	        --dir results/goals || exit 1; done
 

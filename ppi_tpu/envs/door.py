@@ -32,6 +32,15 @@ from ppi_tpu.envs.physics.engine import HINGE
 # dof indices
 YAW, SHOULDER, ELBOW, WRIST, DOOR, LATCH = range(6)
 
+# nominal door-frame origin (hinge anchor) and the per-episode sampling
+# half-ranges about it. mj_envs door-v0 randomizes the door body position
+# each reset (reset_model draws it uniformly over ~0.1 m xy / ~0.15 m z
+# spans — the door obs vector carries door_body_pos for exactly this
+# reason); the re-host samples the same-shaped box about its own scene's
+# nominal frame, clipped to spans the 4-DoF arm comfortably reaches.
+FRAME = (0.55, 0.35, 1.0)
+FRAME_RANGE = (0.05, 0.05, 0.075)
+
 
 def _build_model():
     b = ModelBuilder()
@@ -48,9 +57,11 @@ def _build_model():
     b.add_body(parent=ELBOW, joint_type=HINGE, axis=(0, 1, 0),
                offset_pos=(0.35, 0, 0), mass=0.8, com=(0.08, 0, 0),
                damping=1.0, armature=0.05, q_limit=(-2.0, 2.0), limit_k=50.0)
-    # --- door (hinge at the frame edge, panel extends -y) ---
+    # --- door (hinge at the frame edge, panel extends -y; the offset is
+    # the NOMINAL frame — per-episode the engine overrides it with the
+    # sampled state.frame via dyn_body) ---
     b.add_body(parent=-1, joint_type=HINGE, axis=(0, 0, 1),
-               offset_pos=(0.55, 0.35, 1.0), mass=3.0, com=(0.0, -0.25, 0.0),
+               offset_pos=FRAME, mass=3.0, com=(0.0, -0.25, 0.0),
                inertia=np.diag([0.1, 0.02, 0.1]), damping=3.0, armature=0.0,
                q_limit=(0.0, 1.8), limit_k=200.0)
     # --- latch: handle bar on the door, rotates about the panel normal ---
@@ -80,6 +91,7 @@ def _build_model():
 
 class DoorState(struct.PyTreeNode):
     physics: PhysicsState
+    frame: jax.Array  # (3,) sampled door-frame origin (mj_envs door_body_pos)
     t: jax.Array
 
 
@@ -95,6 +107,7 @@ class Door:
     kd: float = 6.0
     latch_unlock_angle: float = -0.8   # latch pressed this far -> door free
     lock_stiffness: float = 60.0
+    fixed_scene: bool = False  # True: pin the legacy nominal frame
 
     name = "door-v0"
 
@@ -105,10 +118,14 @@ class Door:
         object.__setattr__(self, "_model", model)
         object.__setattr__(self, "_palm_geom", palm)
         object.__setattr__(self, "_handle_geoms", handle)
-        # scalar-SoA fast path: fuses the whole substep into wide VPU kernels
+        # scalar-SoA fast path: fuses the whole substep into wide VPU
+        # kernels; the door body's frame origin is a runtime input (the
+        # latch is the door's child, so it rides the sampled frame)
         object.__setattr__(self, "_step_soa",
-                           make_single_step_soa(model, self.dt, self.substeps))
-        object.__setattr__(self, "_sites_soa", make_sites_soa(model))
+                           make_single_step_soa(model, self.dt, self.substeps,
+                                                dyn_body=DOOR))
+        object.__setattr__(self, "_sites_soa",
+                           make_sites_soa(model, dyn_body=DOOR))
 
     @property
     def action_low(self):
@@ -118,10 +135,18 @@ class Door:
     def action_high(self):
         return jnp.array([1.5, 1.2, 2.0, 2.0])
 
+    def sample_frame(self, key):
+        """Per-episode door-frame origin (see FRAME_RANGE)."""
+        if self.fixed_scene:
+            return jnp.asarray(FRAME)
+        rng = jnp.asarray(FRAME_RANGE)
+        return jnp.asarray(FRAME) + jax.random.uniform(
+            key, (3,), minval=-rng, maxval=rng)
+
     def reset(self, key):
-        del key
         qpos = jnp.array([0.0, 0.6, -0.8, 0.2, 0.0, 0.0])
         return DoorState(physics=PhysicsState(qpos=qpos, qvel=jnp.zeros(6)),
+                         frame=self.sample_frame(key),
                          t=jnp.zeros((), jnp.int32))
 
     # ------------------------------------------------------------------
@@ -138,8 +163,9 @@ class Door:
         return tau.at[DOOR].set(
             -engaged * closed * self.lock_stiffness * qpos[DOOR])
 
-    def _sites(self, qpos):
-        pts = self._sites_soa(qpos)
+    def _sites(self, qpos, frame=None):
+        pts = self._sites_soa(qpos, jnp.asarray(FRAME)
+                              if frame is None else frame)
         palm = pts[self._palm_geom]
         handle = 0.5 * (pts[self._handle_geoms[0]]
                         + pts[self._handle_geoms[1]])
@@ -150,10 +176,10 @@ class Door:
         q, qd = state.physics.qpos, state.physics.qvel
         tau_arm = self.kp * (target - q[:4]) - self.kd * qd[:4]
         tau = jnp.zeros(6).at[:4].set(tau_arm) + self._lock_torque(q)
-        qpos, qvel = self._step_soa(q, qd, tau)
+        qpos, qvel = self._step_soa(q, qd, tau, state.frame)
         phys = PhysicsState(qpos=qpos, qvel=qvel)
 
-        palm, handle = self._sites(phys.qpos)
+        palm, handle = self._sites(phys.qpos, state.frame)
         door_pos = phys.qpos[DOOR]
         dist = jnp.linalg.norm(palm - handle)
         # mj_envs door-v0 reward shape: approach + staged opening bonuses +
@@ -173,6 +199,14 @@ class Door:
 
     _ACTION_LOW = (-1.5, -1.2, -2.0, -2.0)
     _ACTION_HIGH = (1.5, 1.2, 2.0, 2.0)
+
+    # per-episode dynamics constants (pallas_rollout): the sampled door
+    # frame overrides the door body's joint-origin offset inside the
+    # kernel, so scalar_reward's FK sees the episode's scene unchanged
+    scalar_dyn_body = DOOR
+
+    def scalar_dyn_consts(self, state):
+        return state.frame
 
     def scalar_torque(self, m, q, qd, act):
         tau = []
@@ -205,12 +239,14 @@ class Door:
                 + 10.0 * (door > 1.35))
 
     def observe(self, state):
-        palm, handle = self._sites(state.physics.qpos)
+        # mj_envs door-v0 exposes door_body_pos in the observation because
+        # the frame is randomized per episode — same here (state.frame)
+        palm, handle = self._sites(state.physics.qpos, state.frame)
         q = state.physics.qpos
         return jnp.concatenate([
             q[:4], state.physics.qvel[:4],
             q[DOOR:DOOR + 1], q[LATCH:LATCH + 1],
-            palm, handle, palm - handle,
+            palm, handle, palm - handle, state.frame,
             jnp.array([1.0 * (q[DOOR] > 1.0)])])
 
     def success(self, state):

@@ -37,6 +37,10 @@ from ppi_tpu.envs.relocate import (
 GOAL_RANGE_XY = 0.12          # xy half-range about the object start
 GOAL_AIR_Z = (0.15, 0.30)     # in-air goal height band above the table
 SUCCESS_RADIUS = 0.05         # Fetch distance_threshold
+# per-episode object start (Fetch obj_range = 0.15 about the nominal spawn;
+# the re-host samples the subset inside the gripper's hover workspace, the
+# same clipping rationale as relocate.START_RANGE)
+START_RANGE = 0.05
 
 
 class FetchPickState(struct.PyTreeNode):
@@ -89,13 +93,23 @@ class FetchPickAndPlace:
         return jnp.array([BALL_START[0] + 0.04, 0.16,
                           TABLE_Z + BALL_RADIUS + 0.22])
 
-    def sample_goal(self, key):
-        """Fetch sampling: xy about the object start; in the air with
-        probability 0.5, else on the table surface."""
+    def sample_start(self, key):
+        """Per-episode object-start xy offset about the nominal spawn
+        (Fetch samples the object position each reset; see START_RANGE)."""
+        if self.fixed_goal:
+            return jnp.zeros(2)
+        return jax.random.uniform(key, (2,), minval=-START_RANGE,
+                                  maxval=START_RANGE)
+
+    def sample_goal(self, key, start_xy=None):
+        """Fetch sampling: xy about the (sampled) object start; in the air
+        with probability 0.5, else on the table surface."""
         if self.fixed_goal:
             return self.target
+        if start_xy is None:
+            start_xy = jnp.asarray(BALL_START)
         k_xy, k_air, k_z = jax.random.split(key, 3)
-        xy = jnp.asarray(BALL_START) + jax.random.uniform(
+        xy = start_xy + jax.random.uniform(
             k_xy, (2,), minval=-GOAL_RANGE_XY, maxval=GOAL_RANGE_XY)
         air = jax.random.bernoulli(k_air)
         z_air = TABLE_Z + jax.random.uniform(
@@ -104,11 +118,19 @@ class FetchPickAndPlace:
         return jnp.concatenate([xy, z[None]])
 
     def reset(self, key):
-        qpos = jnp.zeros(9).at[:6].set(
-            jnp.array([0.0, -0.346, 1.83, -1.484, 0.5, -0.5]))
+        # object start AND goal sampled per episode (Fetch reset semantics);
+        # the ball's world xy is BALL_START + qpos[6:8], so the sampled
+        # start is pure state on every engine path
+        k_goal, k_start = jax.random.split(key)
+        start = self.sample_start(k_start)
+        qpos = (jnp.zeros(9)
+                .at[:6].set(jnp.array([0.0, -0.346, 1.83, -1.484, 0.5,
+                                       -0.5]))
+                .at[6].set(start[0]).at[7].set(start[1]))
         return FetchPickState(
             physics=PhysicsState(qpos=qpos, qvel=jnp.zeros(9)),
-            target=self.sample_goal(key),
+            target=self.sample_goal(k_goal,
+                                    jnp.asarray(BALL_START) + start),
             t=jnp.zeros((), jnp.int32))
 
     def _sites(self, qpos):

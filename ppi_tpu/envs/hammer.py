@@ -28,6 +28,14 @@ from ppi_tpu.envs.physics.engine import HINGE, SLIDE
 YAW, SHOULDER, ELBOW, WRIST, NAIL = range(5)
 NAIL_DEPTH = 0.06  # fully seated
 
+# nominal nail-board position and the per-episode board-height sampling
+# half-range about it. mj_envs hammer-v0 randomizes the board HEIGHT each
+# reset (reset_model draws the board body z over a ~0.15 m span; the nail
+# target position is part of the observation for exactly this reason);
+# the re-host samples the same-sized span about its own bench height.
+NAIL_POS = (0.68, 0.0, 0.90)
+NAIL_Z_RANGE = 0.075
+
 
 def _build_model():
     b = ModelBuilder()
@@ -44,10 +52,12 @@ def _build_model():
     b.add_body(parent=ELBOW, joint_type=HINGE, axis=(0, 1, 0),
                offset_pos=(0.35, 0, 0), mass=1.0, com=(0.1, 0, 0),
                damping=1.0, armature=0.05, q_limit=(-2.0, 2.0), limit_k=50.0)
-    # --- nail: vertical, driven downward into the bench at (0.68, 0, 0.9);
-    # slide axis points down so q > 0 means "seated deeper" ---
+    # --- nail: vertical, driven downward into the bench at NAIL_POS
+    # (the NOMINAL board position; per episode the engine overrides it
+    # with the sampled state.board via dyn_body); slide axis points down
+    # so q > 0 means "seated deeper" ---
     b.add_body(parent=-1, joint_type=SLIDE, axis=(0, 0, -1),
-               offset_pos=(0.68, 0.0, 0.90), mass=0.4, damping=10.0,
+               offset_pos=NAIL_POS, mass=0.4, damping=10.0,
                armature=0.01, spring_k=0.0, spring_ref=0.0,
                friction_loss=20.0,
                q_limit=(0.0, NAIL_DEPTH + 0.01), limit_k=8e3)
@@ -65,6 +75,7 @@ def _build_model():
 
 class HammerState(struct.PyTreeNode):
     physics: PhysicsState
+    board: jax.Array  # (3,) sampled nail-board position (z randomized)
     t: jax.Array
 
 
@@ -80,6 +91,7 @@ class Hammer:
     substeps: int = 4
     kp: float = 70.0
     kd: float = 7.0
+    fixed_scene: bool = False  # True: pin the legacy nominal board height
 
     name = "hammer-v0"
 
@@ -91,8 +103,10 @@ class Hammer:
         object.__setattr__(self, "_head_geom", head)
         object.__setattr__(self, "_nail_geoms", nail)
         object.__setattr__(self, "_step_soa",
-                           make_single_step_soa(model, self.dt, self.substeps))
-        object.__setattr__(self, "_sites_soa", make_sites_soa(model))
+                           make_single_step_soa(model, self.dt, self.substeps,
+                                                dyn_body=NAIL))
+        object.__setattr__(self, "_sites_soa",
+                           make_sites_soa(model, dyn_body=NAIL))
 
     @property
     def action_low(self):
@@ -102,14 +116,24 @@ class Hammer:
     def action_high(self):
         return np.array([1.5, 1.2, 2.0, 2.0])
 
+    def sample_board(self, key):
+        """Per-episode nail-board position: z sampled over NAIL_Z_RANGE
+        about the nominal bench height (mj_envs reset semantics)."""
+        if self.fixed_scene:
+            return jnp.asarray(NAIL_POS)
+        dz = jax.random.uniform(key, (), minval=-NAIL_Z_RANGE,
+                                maxval=NAIL_Z_RANGE)
+        return jnp.asarray(NAIL_POS) + jnp.array([0.0, 0.0, 1.0]) * dz
+
     def reset(self, key):
-        del key
         qpos = jnp.array([0.0, 0.3, -1.6, 0.9, 0.0])
         return HammerState(physics=PhysicsState(qpos=qpos, qvel=jnp.zeros(5)),
+                           board=self.sample_board(key),
                            t=jnp.zeros((), jnp.int32))
 
-    def _sites(self, qpos):
-        pts = self._sites_soa(qpos)
+    def _sites(self, qpos, board=None):
+        pts = self._sites_soa(qpos, jnp.asarray(NAIL_POS)
+                              if board is None else board)
         head = pts[self._head_geom]
         nail = pts[self._nail_geoms[0]]
         return head, nail
@@ -119,10 +143,10 @@ class Hammer:
         q, qd = state.physics.qpos, state.physics.qvel
         tau_arm = self.kp * (target - q[:4]) - self.kd * qd[:4]
         tau = jnp.zeros(5).at[:4].set(tau_arm)
-        qpos, qvel = self._step_soa(q, qd, tau)
+        qpos, qvel = self._step_soa(q, qd, tau, state.board)
         phys = PhysicsState(qpos=qpos, qvel=qvel)
 
-        head, nail = self._sites(qpos)
+        head, nail = self._sites(qpos, state.board)
         depth = qpos[NAIL]
         dist = jnp.linalg.norm(head - nail)
         # mj_envs hammer-v0 reward shape: approach + insertion progress +
@@ -135,6 +159,13 @@ class Hammer:
         return state.replace(physics=phys, t=state.t + 1), reward
 
     # ---- scalar-SoA kernel contract (pallas_rollout) ------------------
+    # per-episode dynamics constants: the sampled board position overrides
+    # the nail body's joint-origin offset inside the megakernel
+    scalar_dyn_body = NAIL
+
+    def scalar_dyn_consts(self, state):
+        return state.board
+
     def scalar_torque(self, m, q, qd, act):
         lo = np.asarray(self.action_low)
         hi = np.asarray(self.action_high)
@@ -159,8 +190,11 @@ class Hammer:
                 + 10.0 * (depth > 0.95 * NAIL_DEPTH))
 
     def observe(self, state):
+        # mj_envs hammer-v0 exposes the nail target position because the
+        # board height is randomized per episode — the nail site position
+        # here already carries the sampled board (FK through state.board)
         q, qd = state.physics.qpos, state.physics.qvel
-        head, nail = self._sites(q)
+        head, nail = self._sites(q, state.board)
         return jnp.concatenate([
             q[:4], qd[:4], q[NAIL:NAIL + 1], qd[NAIL:NAIL + 1],
             head, nail, head - nail])

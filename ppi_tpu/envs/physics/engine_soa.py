@@ -159,6 +159,21 @@ class SoaModel:
     def identity3(self) -> Mat3:
         return (1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
 
+    def with_body_offset(self, body: int, pos) -> "SoaModel":
+        """Shallow copy with body ``body``'s joint-origin offset replaced —
+        ``pos`` may be a tuple of TRACED scalars, which turns that offset
+        into per-episode state (mj_envs randomizes scene body positions per
+        reset, e.g. the door frame / nail board; see envs.door). Everything
+        downstream of ``fk_soa`` consumes offsets through generic jnp
+        arithmetic, so traced entries flow with no other change; the
+        constant-folded Python branches (spring_k/limit_k/friction_loss,
+        joint types, sparsity) never touch offset_pos."""
+        import copy
+        m2 = copy.copy(self)
+        m2.offset_pos = list(self.offset_pos)
+        m2.offset_pos[body] = (pos[0], pos[1], pos[2])
+        return m2
+
 
 # ---- kinematics -------------------------------------------------------------
 
@@ -441,7 +456,7 @@ def forward_dynamics_soa(m: SoaModel, q, qd, tau):
 
 
 def make_single_step_soa(model: ArticulatedModel, dt: float,
-                         substeps: int = 1, stacked=None):
+                         substeps: int = 1, stacked=None, dyn_body=None):
     """Unbatched step: (qpos (nq,), qvel (nq,), tau (nq,)) -> (qpos, qvel).
 
     Per-sample scalar program — the caller's vmap turns every op into an
@@ -455,7 +470,15 @@ def make_single_step_soa(model: ArticulatedModel, dt: float,
     grows O(nq^3) and XLA's passes are superlinear in graph size. Pass
     ``stacked=True/False`` to pin either path; the Pallas megakernel
     always uses the scalar form (Mosaic wants elementwise tuple
-    programs)."""
+    programs).
+
+    ``dyn_body=b`` makes body ``b``'s joint-origin offset a per-episode
+    RUNTIME input: the returned step takes a trailing ``body_pos (3,)``
+    argument (mj_envs randomizes scene body placements per reset — door
+    frame, nail board). Scalar path only (the envs that sample scene
+    geometry are pinned scalar)."""
+    if dyn_body is not None:
+        stacked = False
     if stacked is None:
         stacked = model.nq >= 10
     if stacked:
@@ -466,14 +489,18 @@ def make_single_step_soa(model: ArticulatedModel, dt: float,
     h = dt / substeps
     nq = m.nq
 
-    def one(qpos, qvel, tau):
+    def one(qpos, qvel, tau, body_pos=None):
+        mm = m
+        if dyn_body is not None and body_pos is not None:
+            mm = m.with_body_offset(
+                dyn_body, (body_pos[0], body_pos[1], body_pos[2]))
         q = tuple(qpos[j] for j in range(nq))
         qd = tuple(qvel[j] for j in range(nq))
         tu = tuple(tau[j] for j in range(nq))
 
         def sub(carry, _):
             q, qd = carry
-            qdd, mdiag = forward_dynamics_soa(m, q, qd, tu)
+            qdd, mdiag = forward_dynamics_soa(mm, q, qd, tu)
             qd2 = list(qd[j] + h * qdd[j] for j in range(nq))
             for j in range(nq):
                 # velocity-level Coulomb friction: exact stiction
@@ -501,31 +528,42 @@ def geom_point_soa(m: SoaModel, rots, poss, s: int) -> Vec3:
     return v3_add(poss[sb], m3_vec(rots[sb], m.sphere_pos[s]))
 
 
-def make_sites_soa(model: ArticulatedModel):
+def make_sites_soa(model: ArticulatedModel, dyn_body=None):
     """Unbatched geom-position extractor: qpos (nq,) -> (ns, 3) sphere-geom
-    world positions (stacked at the end, scalar inside)."""
+    world positions (stacked at the end, scalar inside). With ``dyn_body``
+    the extractor takes a trailing ``body_pos (3,)`` runtime offset for
+    that body (see make_single_step_soa)."""
     m = SoaModel(model)
     nq = m.nq
 
-    def sites(qpos):
+    def sites(qpos, body_pos=None):
+        mm = m
+        if dyn_body is not None and body_pos is not None:
+            mm = m.with_body_offset(
+                dyn_body, (body_pos[0], body_pos[1], body_pos[2]))
         q = tuple(qpos[j] for j in range(nq))
-        rots, poss, _, _ = fk_soa(m, q)
-        pts = [v3_add(poss[sb], m3_vec(rots[sb], m.sphere_pos[s]))
-               for s, sb in enumerate(m.sphere_body)]
+        rots, poss, _, _ = fk_soa(mm, q)
+        pts = [v3_add(poss[sb], m3_vec(rots[sb], mm.sphere_pos[s]))
+               for s, sb in enumerate(mm.sphere_body)]
         return jnp.stack([jnp.stack([jnp.asarray(c, jnp.float32) for c in p])
                           for p in pts])
 
     return sites
 
 
-def make_body_frames_soa(model: ArticulatedModel):
-    """Unbatched FK extractor: qpos -> (rot (nb,3,3), pos (nb,3))."""
+def make_body_frames_soa(model: ArticulatedModel, dyn_body=None):
+    """Unbatched FK extractor: qpos -> (rot (nb,3,3), pos (nb,3)). With
+    ``dyn_body`` takes a trailing ``body_pos (3,)`` runtime offset."""
     m = SoaModel(model)
     nq = m.nq
 
-    def frames(qpos):
+    def frames(qpos, body_pos=None):
+        mm = m
+        if dyn_body is not None and body_pos is not None:
+            mm = m.with_body_offset(
+                dyn_body, (body_pos[0], body_pos[1], body_pos[2]))
         q = tuple(qpos[j] for j in range(nq))
-        rots, poss, _, _ = fk_soa(m, q)
+        rots, poss, _, _ = fk_soa(mm, q)
         asarr = lambda t: jnp.stack([jnp.asarray(c, jnp.float32) for c in t])
         rot = jnp.stack([asarr(r).reshape(3, 3) for r in rots])
         pos = jnp.stack([asarr(p) for p in poss])

@@ -54,7 +54,8 @@ def make_pallas_rollout(model, dt: float, substeps: int, horizon: int,
                         action_dim: int, torque_fn, reward_fn,
                         project_fn=None, n_consts: int = 0,
                         reward_takes_action: bool = False,
-                        block: int = 1024, interpret: bool = False):
+                        dyn_body=None, block: int = 1024,
+                        interpret: bool = False):
     """Build ``(q0 (N,nq), qd0 (N,nq), actions (N,H,da)) ->
     (rewards (N,H), qpos_f (N,nq), qvel_f (N,nq))`` with the whole rollout
     fused into one Pallas kernel (grid over batch blocks).
@@ -70,24 +71,36 @@ def make_pallas_rollout(model, dt: float, substeps: int, horizon: int,
     ``reward_fn(m, q, qd, consts)`` receives them as a tuple of scalars.
     With ``reward_takes_action`` the step's raw action tuple is passed
     ahead of the consts: ``reward_fn(m, q, qd, act[, consts])``.
+    With ``dyn_body`` the runner takes a trailing ``(3,)`` per-episode
+    body-offset override (the sampled scene placement, e.g. the door
+    frame) that rides a replicated VMEM row like the reward consts; the
+    kernel patches the model so dynamics, torque, projection AND reward
+    all see the episode's scene.
     """
     m = SoaModel(model)
     nq = m.nq
     h = dt / substeps
 
-    def call_reward(q, qd, act, consts):
-        extra = (act,) if reward_takes_action else ()
-        if consts is not None:
-            extra = extra + (consts,)
-        return reward_fn(m, q, qd, *extra)
-
     def kernel(q0_ref, qd0_ref, act_ref, *rest):
+        rest = list(rest)
+        mm = m
+        if dyn_body is not None:
+            dyn_ref = rest.pop(0)
+            mm = m.with_body_offset(
+                dyn_body, (dyn_ref[0, 0], dyn_ref[0, 1], dyn_ref[0, 2]))
         if n_consts:
-            consts_ref, rew_ref, qf_ref, qdf_ref = rest
+            consts_ref = rest.pop(0)
             consts = tuple(consts_ref[0, j] for j in range(n_consts))
         else:
-            rew_ref, qf_ref, qdf_ref = rest
             consts = None
+        rew_ref, qf_ref, qdf_ref = rest
+
+        def call_reward(q, qd, act):
+            extra = (act,) if reward_takes_action else ()
+            if consts is not None:
+                extra = extra + (consts,)
+            return reward_fn(mm, q, qd, *extra)
+
         q = tuple(q0_ref[j, :] for j in range(nq))
         qd = tuple(qd0_ref[j, :] for j in range(nq))
         bad = jnp.zeros((block,), jnp.float32)
@@ -97,9 +110,9 @@ def make_pallas_rollout(model, dt: float, substeps: int, horizon: int,
             q_prev = q
             a_slab = act_ref[pl.ds(t, 1)]  # (1, da, block)
             act = tuple(a_slab[0, a, :] for a in range(action_dim))
-            tau = torque_fn(m, q, qd, act)
+            tau = torque_fn(mm, q, qd, act)
             for _ in range(substeps):
-                qdd, mdiag = forward_dynamics_soa(m, q, qd, tau)
+                qdd, mdiag = forward_dynamics_soa(mm, q, qd, tau)
                 qd2 = [qd[j] + h * qdd[j] for j in range(nq)]
                 for j in range(nq):
                     # velocity-level Coulomb friction (exact stiction),
@@ -110,12 +123,12 @@ def make_pallas_rollout(model, dt: float, substeps: int, horizon: int,
                 qd = tuple(qd2)
                 q = tuple(q[j] + h * qd[j] for j in range(nq))
             if project_fn is not None:
-                q, qd = project_fn(m, q_prev, q, qd)
+                q, qd = project_fn(mm, q_prev, q, qd)
             fin = functools.reduce(
                 jnp.logical_and,
                 [jnp.isfinite(x) for x in q + qd])
             bad = jnp.maximum(bad, 1.0 - fin.astype(jnp.float32))
-            r = call_reward(q, qd, act, consts)
+            r = call_reward(q, qd, act)
             r = jnp.where(bad > 0.0, jnp.nan, r)
             rew_ref[pl.ds(t, 1), :] = r[None, :]
             return (q, qd, bad)
@@ -125,7 +138,7 @@ def make_pallas_rollout(model, dt: float, substeps: int, horizon: int,
             qf_ref[j, :] = q[j]
             qdf_ref[j, :] = qd[j]
 
-    def run(q0, qd0, actions, consts=None):
+    def run(q0, qd0, actions, consts=None, dyn=None):
         n = actions.shape[0]
         n_pad = _round_up(max(n, block), block)
         if n_pad != n:
@@ -154,6 +167,11 @@ def make_pallas_rollout(model, dt: float, substeps: int, horizon: int,
                          memory_space=pltpu.VMEM),
         ]
         operands = [q0_t, qd0_t, act_t]
+        if dyn_body is not None:
+            # per-episode scene placement: one tiny replicated VMEM row
+            in_specs.append(pl.BlockSpec((1, 3), lambda i: (0, 0),
+                                         memory_space=pltpu.VMEM))
+            operands.append(jnp.asarray(dyn, jnp.float32).reshape(1, 3))
         if n_consts:
             # per-episode reward constants: one tiny replicated VMEM row
             in_specs.append(pl.BlockSpec((1, n_consts), lambda i: (0, 0),
@@ -203,6 +221,10 @@ def pallas_mpc_objective(env, state0, horizon: int, horizon_mask=None,
     consts = None
     if hasattr(env, "scalar_reward_consts"):
         consts = jnp.asarray(env.scalar_reward_consts(state0))
+    dyn_body = getattr(env, "scalar_dyn_body", None)
+    dyn = None
+    if dyn_body is not None:
+        dyn = jnp.asarray(env.scalar_dyn_consts(state0))
     run = make_pallas_rollout(env._model, env.dt, env.substeps, horizon,
                               env.action_dim, env.scalar_torque,
                               env.scalar_reward,
@@ -211,6 +233,7 @@ def pallas_mpc_objective(env, state0, horizon: int, horizon_mask=None,
                               else int(consts.shape[0]),
                               reward_takes_action=getattr(
                                   env, "scalar_reward_takes_action", False),
+                              dyn_body=dyn_body,
                               block=block, interpret=interpret)
     q0 = state0.physics.qpos
     qd0 = state0.physics.qvel
@@ -220,7 +243,7 @@ def pallas_mpc_objective(env, state0, horizon: int, horizon_mask=None,
         n = action_sequences.shape[0]
         rewards, _, _ = run(jnp.broadcast_to(q0, (n,) + q0.shape),
                             jnp.broadcast_to(qd0, (n,) + qd0.shape),
-                            action_sequences, consts)
+                            action_sequences, consts, dyn)
         if horizon_mask is not None:
             rewards = rewards * horizon_mask[None, :]
         return -jnp.sum(rewards, axis=1)

@@ -30,6 +30,10 @@ BOX_START = (0.55, 0.1)
 # floor branchlessly by radial push-out instead of rejection resampling
 GOAL_RANGE = 0.15
 GOAL_MIN_DIST = 0.1
+# per-episode box start (Fetch obj_range = 0.15 about the nominal spawn;
+# subset kept inside the paddle's push workspace — see relocate.START_RANGE
+# for the clipping rationale)
+START_RANGE = 0.05
 
 
 def _build_model():
@@ -105,27 +109,46 @@ class FetchPush:
     def action_high(self):
         return np.array([1.5, 1.2, 2.0, 2.0])
 
-    def sample_goal(self, key):
-        """Tabletop goal = box start + U(-range, range)^2 rejection-sampled
-        to the 0.1 m minimum, matching the Fetch resample-until-far loop
-        (gymnasium-robotics fetch_env._sample_goal) as a fixed 8-draw
-        first-accept under jit. A radial projection (which would put a
-        ~35% atom of easiest goals exactly on the 0.1 m circle) is kept
-        only as the all-draws-near fallback (p ~ 0.35^8 ~ 2e-4)."""
+    def sample_start(self, key):
+        """Per-episode box-start xy offset about the nominal spawn (Fetch
+        samples the object position each reset; see START_RANGE)."""
+        if self.fixed_goal:
+            return jnp.zeros(2)
+        return jax.random.uniform(key, (2,), minval=-START_RANGE,
+                                  maxval=START_RANGE)
+
+    def sample_goal(self, key, start_xy=None):
+        """Tabletop goal = (sampled) box start + U(-range, range)^2
+        rejection-sampled to the 0.1 m minimum, matching the Fetch
+        resample-until-far loop (gymnasium-robotics fetch_env._sample_goal)
+        as a fixed 8-draw first-accept under jit. A radial projection
+        (which would put a ~35% atom of easiest goals exactly on the 0.1 m
+        circle) is kept only as the all-draws-near fallback
+        (p ~ 0.35^8 ~ 2e-4)."""
         if self.fixed_goal:
             return jnp.asarray(self.target)
+        if start_xy is None:
+            start_xy = jnp.asarray(BOX_START)
         offs = jax.random.uniform(key, (8, 2), minval=-GOAL_RANGE,
                                   maxval=GOAL_RANGE)
         ok = jnp.linalg.norm(offs, axis=1) >= GOAL_MIN_DIST
         off = offs[jnp.argmax(ok)]      # first accepted draw (row 0 if none)
         r = jnp.linalg.norm(off) + 1e-9
         off = jnp.where(ok.any(), off, off * (GOAL_MIN_DIST / r))
-        return jnp.asarray(BOX_START) + off
+        return start_xy + off
 
     def reset(self, key):
-        qpos = jnp.array([0.0, 0.7, -0.9, 0.3, 0.0, 0.0])
+        # box start AND goal sampled per episode (Fetch reset semantics);
+        # the box world xy is BOX_START + qpos[BOX_X:BOX_Y+1], so the
+        # sampled start is pure state on every engine path
+        k_goal, k_start = jax.random.split(key)
+        start = self.sample_start(k_start)
+        qpos = (jnp.array([0.0, 0.7, -0.9, 0.3, 0.0, 0.0])
+                .at[BOX_X].set(start[0]).at[BOX_Y].set(start[1]))
         return PushState(physics=PhysicsState(qpos=qpos, qvel=jnp.zeros(6)),
-                         target=self.sample_goal(key),
+                         target=self.sample_goal(k_goal,
+                                                 jnp.asarray(BOX_START)
+                                                 + start),
                          t=jnp.zeros((), jnp.int32))
 
     def _positions(self, qpos):

@@ -32,6 +32,7 @@ from ppi_tpu.envs.relocate import (
     GOAL_X,
     GOAL_Y,
     GOAL_Z,
+    START_RANGE,
     TABLE_Z,
     TARGET,
 )
@@ -180,13 +181,29 @@ class RelocateHand:
         hi = jnp.array([GOAL_X[1], GOAL_Y[1], GOAL_Z[1]])
         return jax.random.uniform(key, (3,), minval=lo, maxval=hi)
 
+    def sample_start(self, key):
+        """Per-episode ball-start xy offset (mj_envs relocate samples the
+        object position too; see relocate.START_RANGE)."""
+        if self.fixed_goal:
+            return jnp.zeros(2)
+        return jax.random.uniform(key, (2,), minval=-START_RANGE,
+                                  maxval=START_RANGE)
+
     def reset(self, key):
-        # arm hovers the open hand just above the ball; digits splayed
-        qpos = jnp.zeros(13).at[:N_ACT].set(jnp.array(
-            [0.0, -0.346, 1.83, -1.484, 0.5, 0.0, 0.5, 0.0, -0.5, 0.0]))
+        # arm hovers the open hand just above the nominal ball start;
+        # digits splayed; goal AND ball start sampled per episode (the
+        # ball's world position is BALL_START + qpos[BALL_X:BALL_Y+1], so
+        # the sampled start is pure state on every engine path)
+        k_goal, k_start = jax.random.split(key)
+        start = self.sample_start(k_start)
+        qpos = (jnp.zeros(13)
+                .at[:N_ACT].set(jnp.array(
+                    [0.0, -0.346, 1.83, -1.484, 0.5, 0.0, 0.5, 0.0, -0.5,
+                     0.0]))
+                .at[BALL_X].set(start[0]).at[BALL_Y].set(start[1]))
         return RelocateHandState(
             physics=PhysicsState(qpos=qpos, qvel=jnp.zeros(13)),
-            target=self.sample_goal(key),
+            target=self.sample_goal(k_goal),
             t=jnp.zeros((), jnp.int32))
 
     def _sites(self, qpos):

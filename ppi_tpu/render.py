@@ -81,25 +81,29 @@ def _chain_xz(frames_fn, qpos):
     return pts[:, 0], pts[:, 2]
 
 
-def render_door(env, qpos_history, path, stride=2):
-    """Top-down schematic of the door task: arm links, door panel, latch."""
+def render_door(env, qpos_history, path, stride=2, frame=None):
+    """Top-down schematic of the door task: arm links, door panel, latch.
+    ``frame`` is the episode's sampled door-frame origin (defaults to the
+    nominal scene)."""
     qpos_history = np.asarray(qpos_history)
+    from ppi_tpu.envs.door import DOOR, FRAME
     from ppi_tpu.envs.physics.engine_soa import make_body_frames_soa
-    frames_fn = make_body_frames_soa(env._model)
+    frames_fn = make_body_frames_soa(env._model, dyn_body=DOOR)
     sites = env._sites_soa
+    fr = np.asarray(FRAME if frame is None else frame, np.float32)
 
     def draw(ax, t):
         q = qpos_history[t]
-        rot, pos = frames_fn(q)
+        rot, pos = frames_fn(q, fr)
         pos = np.asarray(pos)
         # arm in the x-y plane (top-down)
-        palm, handle = env._sites(q)
+        palm, handle = env._sites(q, fr)
         xs = list(pos[:4, 0]) + [float(palm[0])]
         ys = list(pos[:4, 1]) + [float(palm[1])]
         ax.plot(xs, ys, "o-", lw=3, color="C0")
         ax.plot([float(palm[0])], [float(palm[1])], "o", ms=10, color="C0")
         # door panel: hinge + panel capsule endpoints
-        pts = np.asarray(sites(q))
+        pts = np.asarray(sites(q, fr))
         hinge = pos[4, :2]
         panel_end = pts[4, :2]  # d_b sphere
         ax.plot([hinge[0], panel_end[0]], [hinge[1], panel_end[1]],

@@ -1,4 +1,4 @@
-"""MPC success *rate* over sampled episode goals.
+"""MPC success *rate* over sampled episode goals / scenes.
 
 mj_envs pen-v0 / relocate-v0 and gymnasium-robotics Fetch sample the task
 goal per episode (reference: run_mpc.py:41-47 env zoo + the mj_envs /
@@ -41,9 +41,21 @@ CONFIGS = {
     "fetch-push": dict(alg="Mppi", policy="ColouredNoise", beta=2.0,
                        alpha=10.0, anneal=0.9, timesteps=120, horizon=20,
                        n_samples=256),
+    # T=180/N=384: sampled OBJECT starts (r3 late addition) make the
+    # in-air pick regime harder — the arm must first servo over the
+    # offset ball; the longer episode + bigger batch recover the margin
+    # (T=140/N=256 measured 7/10, failures all in-air goals)
     "fetch-pick": dict(alg="Mppi", policy="ColouredNoise", beta=2.0,
-                       alpha=10.0, anneal=0.9, timesteps=140, horizon=20,
-                       n_samples=256),
+                       alpha=10.0, anneal=0.9, timesteps=180, horizon=20,
+                       n_samples=384),
+    # scene-sampled envs (r3 late addition): mj_envs randomizes the door
+    # FRAME and the hammer BOARD height per reset; the canonical configs
+    # must open/seat across the scene distribution, not one fixed scene
+    "door-v0": dict(alg="Lbps", policy="SquaredExponentialKernel",
+                    lengthscale=0.08, delta=0.9, n_iters=2, anneal=0.5,
+                    timesteps=250, horizon=30, n_samples=64),
+    "hammer-v0": dict(alg="Essps", policy="RffFeatures", lengthscale=0.15,
+                      n_elites=10, timesteps=250, horizon=30, n_samples=64),
 }
 
 
@@ -136,7 +148,13 @@ def run(env_name: str, resets: int, warmstart: int = 50, overrides=None,
 
 
 def _goal_field(env_name: str) -> str:
-    return "target_axis" if env_name.startswith("pen") else "target"
+    if env_name.startswith("pen"):
+        return "target_axis"
+    if env_name.startswith("door"):
+        return "frame"   # the sampled scene IS the episode's "goal"
+    if env_name.startswith("hammer"):
+        return "board"
+    return "target"
 
 
 def main(argv=None):

@@ -276,7 +276,8 @@ def main(args):
         out = filepath / f"episode.{args.video_format}"
         try:
             if args.env == "door-v0":
-                out = render_mod.render_door(env, qh, out)
+                out = render_mod.render_door(env, qh, out,
+                                             frame=env_state.frame)
             elif args.env == "door-v0-hand":
                 out = render_mod.render_door_hand(env, qh, out)
             elif args.env == "hammer-v0-hand":

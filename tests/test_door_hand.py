@@ -117,7 +117,7 @@ class TestDoorHand:
         from ppi_tpu.envs.door import Door, DoorState
         from ppi_tpu.envs.physics.pallas_rollout import make_pallas_rollout
 
-        env = Door()
+        env = Door(fixed_scene=True)  # kernel here has no dyn row
         clamp_at = 0.05
 
         def project(m, q_prev, q, qd):
@@ -146,7 +146,9 @@ class TestDoorHand:
             def body(carry, a):
                 q, qd = carry
                 from ppi_tpu.envs.physics import PhysicsState
+                from ppi_tpu.envs.door import FRAME
                 st = DoorState(physics=PhysicsState(qpos=q, qvel=qd),
+                               frame=jnp.asarray(FRAME),
                                t=jnp.zeros((), jnp.int32))
                 st2, _ = env.step(st, a)
                 qt = tuple(st2.physics.qpos[j] for j in range(6))

@@ -64,6 +64,68 @@ class TestDoor:
             lambda s, _: env.step(s, target), s0, None, length=40)
         assert float(state.physics.qpos[DOOR]) < 0.15
 
+    def test_scene_sampled_per_episode_and_pinned_when_fixed(self):
+        from ppi_tpu.envs.door import FRAME, FRAME_RANGE
+        env = Door()
+        f1 = np.asarray(env.reset(jax.random.key(1)).frame)
+        f2 = np.asarray(env.reset(jax.random.key(2)).frame)
+        assert np.linalg.norm(f1 - f2) > 1e-3
+        for f in (f1, f2):
+            assert (np.abs(f - FRAME) <= np.asarray(FRAME_RANGE) + 1e-6).all()
+        fixed = Door(fixed_scene=True)
+        np.testing.assert_allclose(
+            np.asarray(fixed.reset(jax.random.key(3)).frame), FRAME)
+        # the frame is observable (mj_envs exposes door_body_pos)
+        obs = np.asarray(env.observe(env.reset(jax.random.key(4))))
+        f4 = np.asarray(env.reset(jax.random.key(4)).frame)
+        assert any(np.allclose(obs[i:i + 3], f4)
+                   for i in range(len(obs) - 2))
+
+    def test_dyn_override_equals_baked_model(self):
+        """The golden check for the per-episode scene mechanism: stepping
+        with the frame as a RUNTIME input (dyn_body override) must equal
+        (a) the same SoA step with the frame baked into the model as a
+        constant, exactly, and (b) the independent tensor-engine step on
+        the baked model, to fp tolerance."""
+        import dataclasses as dc
+
+        from ppi_tpu.envs.door import DOOR as DOOR_BODY
+        from ppi_tpu.envs.physics import engine
+        from ppi_tpu.envs.physics.engine_soa import make_single_step_soa
+        from ppi_tpu.envs.physics import PhysicsState
+
+        env = Door()
+        s0 = env.reset(jax.random.key(5))
+        frame = s0.frame
+        model = env._model
+        baked = dc.replace(model,
+                           offset_pos=model.offset_pos.at[DOOR_BODY]
+                           .set(frame))
+        step_dyn = jax.jit(make_single_step_soa(model, env.dt, env.substeps,
+                                                dyn_body=DOOR_BODY))
+        step_baked = jax.jit(make_single_step_soa(baked, env.dt,
+                                                  env.substeps))
+        q = s0.physics.qpos + 0.03
+        qd = 0.1 * jnp.ones(6)
+        tau = jnp.asarray([1.0, -2.0, 0.5, 0.3, -0.2, 0.1])
+        for _ in range(10):
+            q_d, qd_d = step_dyn(q, qd, tau, frame)
+            q_b, qd_b = step_baked(q, qd, tau)
+            np.testing.assert_array_equal(np.asarray(q_d), np.asarray(q_b))
+            np.testing.assert_array_equal(np.asarray(qd_d), np.asarray(qd_b))
+            q, qd = q_d, qd_d
+        # independent implementation: tensor engine on the baked model
+        st = PhysicsState(qpos=s0.physics.qpos + 0.03,
+                          qvel=0.1 * jnp.ones(6))
+        q2, qd2 = st.qpos, st.qvel
+        for _ in range(10):
+            st = engine.step(baked, st, tau, env.dt, env.substeps)
+            q2, qd2 = step_dyn(q2, qd2, tau, frame)
+        np.testing.assert_allclose(np.asarray(q2), np.asarray(st.qpos),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(qd2), np.asarray(st.qvel),
+                                   rtol=1e-3, atol=1e-4)
+
     def test_mpc_presses_latch_and_opens_door(self):
         env = Door()
         agent, pol = mppi_agent(env, horizon=30, timesteps=150, n_samples=96)
@@ -110,8 +172,11 @@ class TestLocomotion:
 
 class TestHammer:
     def test_scripted_strikes_seat_the_nail(self):
+        # the strike script is tuned to the nominal board height; MPC on
+        # sampled boards is covered by the goal_success sweep + TestHammer
+        # scene tests below
         from ppi_tpu.envs.hammer import Hammer
-        env = Hammer()
+        env = Hammer(fixed_scene=True)
         s0 = env.reset(jax.random.key(0))
 
         def script(s, t):
@@ -135,6 +200,23 @@ class TestHammer:
                             length=60)
         assert float(s.physics.qpos[4]) < 1e-3  # friction holds the nail
 
+    def test_board_height_sampled_per_episode(self):
+        from ppi_tpu.envs.hammer import Hammer, NAIL_POS, NAIL_Z_RANGE
+        env = Hammer()
+        b1 = np.asarray(env.reset(jax.random.key(1)).board)
+        b2 = np.asarray(env.reset(jax.random.key(2)).board)
+        assert abs(b1[2] - b2[2]) > 1e-4
+        for b in (b1, b2):
+            np.testing.assert_allclose(b[:2], NAIL_POS[:2])
+            assert abs(b[2] - NAIL_POS[2]) <= NAIL_Z_RANGE + 1e-6
+        fixed = Hammer(fixed_scene=True)
+        np.testing.assert_allclose(
+            np.asarray(fixed.reset(jax.random.key(3)).board), NAIL_POS)
+        # the nail site in the observation tracks the sampled board height
+        s1 = env.reset(jax.random.key(1))
+        _, nail = env._sites(s1.physics.qpos, s1.board)
+        assert abs(float(nail[2]) - (b1[2] + 0.060)) < 1e-5
+
 
 class TestFetchPush:
     def test_box_held_by_friction(self):
@@ -144,8 +226,9 @@ class TestFetchPush:
         hold = s0.physics.qpos[:4]
         s, _ = jax.lax.scan(lambda s, _: env.step(s, hold), s0, None,
                             length=50)
-        # the box must not creep without being touched
-        assert float(jnp.abs(s.physics.qpos[4:]).max()) < 1e-3
+        # the box must not creep from its (sampled) start without contact
+        drift = s.physics.qpos[4:] - s0.physics.qpos[4:]
+        assert float(jnp.abs(drift).max()) < 1e-3
 
     def test_rollout_finite(self):
         from ppi_tpu.envs.push import FetchPush

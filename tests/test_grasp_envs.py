@@ -164,15 +164,38 @@ class TestSampledGoals:
             assert not bool(env.success(s_cross))
 
     def test_fetch_push_goal_floor_distance(self):
-        from ppi_tpu.envs.push import BOX_START, FetchPush, GOAL_MIN_DIST
+        # the 0.1 m floor is enforced against the EPISODE's sampled box
+        # start (Fetch resamples the goal until far from the object)
+        from ppi_tpu.envs.push import FetchPush, GOAL_MIN_DIST
         env = FetchPush()
-        targets = [np.asarray(env.reset(jax.random.key(k)).target)
-                   for k in range(8)]
+        states = [env.reset(jax.random.key(k)) for k in range(8)]
+        targets = [np.asarray(s.target) for s in states]
+        starts = [np.asarray(env.box_xy(s)) for s in states]
         assert max(np.linalg.norm(a - b) for a in targets
                    for b in targets) > 1e-3
-        for t in targets:
-            assert np.linalg.norm(t - np.asarray(BOX_START)) \
-                >= GOAL_MIN_DIST - 1e-6
+        for t, s in zip(targets, starts):
+            assert np.linalg.norm(t - s) >= GOAL_MIN_DIST - 1e-6
+
+    def test_object_starts_sampled_per_episode(self):
+        """mj_envs relocate / Fetch sample the OBJECT position per reset,
+        not only the goal; fixed_goal=True pins both (legacy episode)."""
+        from ppi_tpu.envs.fetch_pick import FetchPickAndPlace
+        from ppi_tpu.envs.push import FetchPush
+        from ppi_tpu.envs.relocate import START_RANGE
+
+        def obj_offsets(env, dofs, key):
+            return np.asarray(env.reset(key).physics.qpos)[list(dofs)]
+
+        for env, dofs in ((Relocate(), (6, 7)), (FetchPush(), (4, 5)),
+                          (FetchPickAndPlace(), (6, 7))):
+            o1 = obj_offsets(env, dofs, jax.random.key(1))
+            o2 = obj_offsets(env, dofs, jax.random.key(2))
+            assert np.linalg.norm(o1 - o2) > 1e-4, type(env).__name__
+            for o in (o1, o2):
+                assert (np.abs(o) <= START_RANGE + 1e-6).all()
+        fixed = Relocate(fixed_goal=True)
+        np.testing.assert_allclose(
+            obj_offsets(fixed, (6, 7), jax.random.key(3)), 0.0)
 
     def test_fetch_push_goal_distribution_has_no_boundary_atom(self):
         """The rejection sampler must not pile goal mass on the 0.1 m

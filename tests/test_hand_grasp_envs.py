@@ -81,6 +81,18 @@ class TestRelocateHand:
         t2 = env.reset(jax.random.key(2)).target
         assert float(jnp.linalg.norm(t1 - t2)) > 1e-3
 
+    def test_ball_start_sampled_per_episode(self):
+        from ppi_tpu.envs.relocate import START_RANGE
+        env = RelocateHand(engine="tensor")
+        o1 = np.asarray(env.reset(jax.random.key(1)).physics.qpos)[10:12]
+        o2 = np.asarray(env.reset(jax.random.key(2)).physics.qpos)[10:12]
+        assert np.linalg.norm(o1 - o2) > 1e-4
+        assert (np.abs(np.r_[o1, o2]) <= START_RANGE + 1e-6).all()
+        fixed = RelocateHand(engine="tensor", fixed_goal=True)
+        np.testing.assert_allclose(
+            np.asarray(fixed.reset(jax.random.key(3)).physics.qpos)[10:12],
+            0.0)
+
     def test_scripted_digit_grasp_and_carry_succeeds(self):
         """The feasibility oracle: basket-curl the three digits under the
         ball, lift through the carry waypoints, land within the success

@@ -21,7 +21,9 @@ INTERPRET = jax.default_backend() == "cpu"
 
 @pytest.fixture(scope="module")
 def door():
-    return Door()
+    # low-level kernel tests run on the nominal scene; the sampled-frame
+    # (dyn_body) path is cross-validated in TestDynamicsConsts below
+    return Door(fixed_scene=True)
 
 
 def _batched_state0(env, n):
@@ -157,7 +159,7 @@ class TestRewardConsts:
         """Toy check of the n_consts plumbing on the cheap door model: a
         consts-dependent reward must match an oracle evaluated with the
         same constants, and differ across constants."""
-        env = Door()
+        env = Door(fixed_scene=True)
         h, n = 3, 8
         s0, q0, qd0 = _batched_state0(env, n)
         acts = 0.2 * jax.random.normal(jax.random.key(5),
@@ -280,3 +282,45 @@ class TestRewardTakesAction:
             lambda a: pallas_mpc_objective(env, s0, h, block=128)(None, a))
             (acts))
         np.testing.assert_allclose(c_pal, c_ref, rtol=1e-3, atol=1e-3)
+
+
+class TestDynamicsConsts:
+    """Per-episode DYNAMICS constants in the kernel (the sampled-scene
+    contract: mj_envs randomizes the door frame / nail board per reset):
+    scalar_dyn_body + scalar_dyn_consts thread the sampled body offset
+    through a replicated VMEM row, and the patched model drives dynamics,
+    torque, projection and reward alike. Cross-validated against the
+    batch_rollout oracle, which consumes the same offset through
+    state.frame/state.board."""
+
+    @pytest.mark.parametrize("env_name", ["door-v0", "hammer-v0"])
+    def test_sampled_scene_kernel_matches_oracle(self, env_name):
+        from ppi_tpu.envs.base import batch_rollout, mpc_objective
+        from ppi_tpu.runners.run_mpc import ENVS
+        env = ENVS[env_name]()
+        h, n = 6, 8
+        for key in (jax.random.key(0), jax.random.key(7)):
+            s0 = env.reset(key)  # samples the scene
+            acts = s0.physics.qpos[:env.action_dim][None, None, :] \
+                + 0.3 * jax.random.normal(jax.random.key(3),
+                                          (n, h, env.action_dim))
+            _, rew = batch_rollout(env, s0, acts)
+            f = pallas_mpc_objective(env, s0, h, block=128,
+                                     interpret=INTERPRET)
+            np.testing.assert_allclose(
+                np.asarray(f(None, acts)), -np.asarray(rew).sum(1),
+                rtol=1e-4, atol=1e-4)
+
+    def test_scene_changes_the_rollout(self):
+        # two different sampled frames must yield different costs for the
+        # same actions (the dyn row is live, not decorative)
+        env = Door()
+        s0 = env.reset(jax.random.key(0))
+        s1 = env.reset(jax.random.key(1))
+        acts = s0.physics.qpos[:4][None, None, :] + 0.3 * jax.random.normal(
+            jax.random.key(2), (4, 6, 4))
+        f0 = pallas_mpc_objective(env, s0, 6, block=128, interpret=INTERPRET)
+        f1 = pallas_mpc_objective(env, s0.replace(frame=s1.frame), 6,
+                                  block=128, interpret=INTERPRET)
+        d = np.abs(np.asarray(f0(None, acts)) - np.asarray(f1(None, acts)))
+        assert d.max() > 1e-4
