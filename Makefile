@@ -66,11 +66,14 @@ corl:
 
 # MPC success rates over the sampled goal/scene distributions (10 resets
 # per env, one vmapped program each — chunked where the env pins a chunk
-# default; results/goals/*.json). door/hammer sample SCENE geometry (frame
-# / board height) per reset; the rest sample goals and object starts.
+# default; results/goals/*.json). door/hammer (both embodiments) sample
+# SCENE geometry (frame / board height) per reset; the rest sample goals
+# and object starts. The -hand rows are device-scale (minutes-long SoA
+# compiles on CPU).
 goals:
 	for e in pen-v0 pen-v0-hand relocate-v0 relocate-v0-hand \
-	    fetch-push fetch-pick door-v0 hammer-v0; do \
+	    fetch-push fetch-pick door-v0 hammer-v0 \
+	    door-v0-hand hammer-v0-hand; do \
 	    $(PY) -m ppi_tpu.runners.goal_success --env $$e --resets 10 \
 	        --dir results/goals || exit 1; done
 

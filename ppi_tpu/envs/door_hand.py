@@ -36,6 +36,15 @@ N_ACT = 10  # all arm + digit joints are position-servoed
 _LOW = (-1.5, -1.6, -2.3, -2.0, -0.3, 0.0, -0.3, 0.0, -1.6, -1.8)
 _HIGH = (1.5, 1.6, 2.3, 2.0, 1.6, 1.8, 1.6, 1.8, 0.3, 0.0)
 
+# nominal door-frame origin and the per-episode sampling half-ranges, as
+# in ``envs.door`` (mj_envs door-v0 randomizes the door body position per
+# reset regardless of embodiment — reset_model draws ~0.1 m xy / ~0.15 m z
+# spans and exposes door_body_pos in the observation). The hand scene's
+# nominal frame sits closer than the paddle's (the digits need finer
+# reach), sampled over the same-sized box.
+FRAME = (0.50, 0.30, 1.0)
+FRAME_RANGE = (0.05, 0.05, 0.075)
+
 
 def _add_digit(b, y, z, mcp_limits, pip_limits):
     """Two-hinge digit on the wrist via the shared hand builder
@@ -64,9 +73,12 @@ def _build_model():
     _add_digit(b, +0.05, +0.03, (_LOW[4], _HIGH[4]), (_LOW[5], _HIGH[5]))
     _add_digit(b, -0.05, +0.03, (_LOW[6], _HIGH[6]), (_LOW[7], _HIGH[7]))
     _add_digit(b, 0.0, -0.05, (_LOW[8], _HIGH[8]), (_LOW[9], _HIGH[9]))
-    # --- door + latch (identical to envs.door) ---
+    # --- door + latch (identical to envs.door; the offset is the NOMINAL
+    # frame — per episode the engine overrides it with the sampled
+    # state.frame via dyn_body, and the latch rides it as the door's
+    # child) ---
     b.add_body(parent=-1, joint_type=HINGE, axis=(0, 0, 1),
-               offset_pos=(0.50, 0.30, 1.0), mass=3.0, com=(0.0, -0.25, 0.0),
+               offset_pos=FRAME, mass=3.0, com=(0.0, -0.25, 0.0),
                inertia=np.diag([0.1, 0.02, 0.1]), damping=2.0, armature=0.0,
                q_limit=(0.0, 1.8), limit_k=200.0)
     b.add_body(parent=DOOR, joint_type=HINGE, axis=(1, 0, 0),
@@ -105,6 +117,7 @@ def _build_model():
 
 class DoorHandState(struct.PyTreeNode):
     physics: PhysicsState
+    frame: jax.Array  # (3,) sampled door-frame origin (mj_envs door_body_pos)
     t: jax.Array
 
 
@@ -127,6 +140,7 @@ class DoorHand:
     seal_force: float = 2.5  # N m of opening bias while nearly closed
     engine: str = "soa"  # "soa" (fast run, slow CPU compile at 12 DoF) or
     #                      "tensor" (fast compile — the CPU test engine)
+    fixed_scene: bool = False  # True: pin the legacy nominal frame
 
     name = "door-v0-hand"
 
@@ -143,18 +157,26 @@ class DoorHand:
             # but the fp reduction-order change re-rolls this knife-edge
             # task's MPC episodes — measured 3/5 seeds vs 4/5 scalar
             # (RESULTS.md round-3 engine study), so the certified canonical
-            # behavior keeps the certified dynamics path
+            # behavior keeps the certified dynamics path. The sampled frame
+            # is a runtime input (dyn_body), as in envs.door.
             step = make_single_step_soa(model, self.dt, self.substeps,
-                                        stacked=False)
+                                        stacked=False, dyn_body=DOOR)
         else:
             from ppi_tpu.envs.physics import engine as _te
 
-            def step(q, qd, tau):
-                s = _te.step(model, PhysicsState(qpos=q, qvel=qd), tau,
+            def step(q, qd, tau, frame):
+                # the tensor model is a pytree: patching the door body's
+                # joint-origin offset with the traced frame is plain
+                # array arithmetic (independent implementation of the
+                # SoA dyn_body override — cross-validated in tests)
+                mm = model.replace(
+                    offset_pos=model.offset_pos.at[DOOR].set(frame))
+                s = _te.step(mm, PhysicsState(qpos=q, qvel=qd), tau,
                              self.dt, self.substeps)
                 return s.qpos, s.qvel
         object.__setattr__(self, "_step_soa", step)
-        object.__setattr__(self, "_sites_soa", make_sites_soa(model))
+        object.__setattr__(self, "_sites_soa",
+                           make_sites_soa(model, dyn_body=DOOR))
 
     @property
     def action_low(self):
@@ -164,13 +186,21 @@ class DoorHand:
     def action_high(self):
         return jnp.array(_HIGH)
 
+    def sample_frame(self, key):
+        """Per-episode door-frame origin (see FRAME_RANGE)."""
+        if self.fixed_scene:
+            return jnp.asarray(FRAME)
+        rng = jnp.asarray(FRAME_RANGE)
+        return jnp.asarray(FRAME) + jax.random.uniform(
+            key, (3,), minval=-rng, maxval=rng)
+
     def reset(self, key):
-        del key
         qpos = jnp.array([0.0, 0.6, -0.8, 0.2,          # arm
                           0.3, 0.4, 0.3, 0.4, -0.3, -0.4,  # digits ajar
                           0.0, 0.0])                     # door, latch
         return DoorHandState(
             physics=PhysicsState(qpos=qpos, qvel=jnp.zeros(12)),
+            frame=self.sample_frame(key),
             t=jnp.zeros((), jnp.int32))
 
     # ------------------------------------------------------------------
@@ -208,8 +238,9 @@ class DoorHand:
         new_qd = jnp.where(clamp, jnp.minimum(qvel[DOOR], 0.0), qvel[DOOR])
         return qpos.at[DOOR].set(new_q), qvel.at[DOOR].set(new_qd)
 
-    def _sites(self, qpos):
-        pts = self._sites_soa(qpos)
+    def _sites(self, qpos, frame=None):
+        pts = self._sites_soa(qpos, jnp.asarray(FRAME)
+                              if frame is None else frame)
         palm = pts[self._palm_geom]
         handle = 0.5 * (pts[self._handle_geoms[0]]
                         + pts[self._handle_geoms[1]])
@@ -222,11 +253,11 @@ class DoorHand:
         tau_act = kp * (target - q[:N_ACT]) - kd * qd[:N_ACT]
         tau = (jnp.zeros(12).at[:N_ACT].set(tau_act)
                + self._lock_torque(q, qd))
-        qpos, qvel = self._step_soa(q, qd, tau)
+        qpos, qvel = self._step_soa(q, qd, tau, state.frame)
         qpos, qvel = self._bolt_project(q[DOOR], qpos, qvel)
         phys = PhysicsState(qpos=qpos, qvel=qvel)
 
-        palm, handle = self._sites(phys.qpos)
+        palm, handle = self._sites(phys.qpos, state.frame)
         door_pos = phys.qpos[DOOR]
         dist = jnp.linalg.norm(palm - handle)
         # identical reward shape to envs.door (mj_envs door-v0 structure) so
@@ -240,6 +271,13 @@ class DoorHand:
         return state.replace(physics=phys, t=state.t + 1), reward
 
     # ---- scalar-SoA kernel contract (pallas_rollout) ------------------
+    # per-episode dynamics constants: the sampled door frame overrides the
+    # door body's joint-origin offset inside the megakernel
+    scalar_dyn_body = DOOR
+
+    def scalar_dyn_consts(self, state):
+        return state.frame
+
     def scalar_torque(self, m, q, qd, act):
         kps = [self.kp] * 4 + [self.kp_hand] * 6
         kds = [self.kd] * 4 + [self.kd_hand] * 6
@@ -285,12 +323,14 @@ class DoorHand:
                 + 10.0 * (door > 1.35))
 
     def observe(self, state):
-        palm, handle = self._sites(state.physics.qpos)
+        # mj_envs door-v0 exposes door_body_pos in the observation because
+        # the frame is randomized per episode — same here (state.frame)
+        palm, handle = self._sites(state.physics.qpos, state.frame)
         q = state.physics.qpos
         return jnp.concatenate([
             q[:N_ACT], state.physics.qvel[:N_ACT],
             q[DOOR:DOOR + 1], q[LATCH:LATCH + 1],
-            palm, handle, palm - handle,
+            palm, handle, palm - handle, state.frame,
             jnp.array([1.0 * (q[DOOR] > 1.0)])])
 
     def success(self, state):
@@ -301,19 +341,18 @@ class DoorHand:
 # scripted expert (feasibility oracle + render demo)
 # ---------------------------------------------------------------------------
 
-_HINGE_XY = np.array([0.50, 0.30])
-
-
 def _ik(env, state, target_pt, q_init, iters=300, lr=0.03):
     """Gradient IK for the palm on the 10 actuated joints; the passive
-    door/latch coordinates are frozen at the current state."""
+    door/latch coordinates are frozen at the current state (FK through
+    the episode's sampled frame)."""
     lo = jnp.array(_LOW)
     hi = jnp.array(_HIGH)
 
     def obj(q10):
         q = jnp.concatenate([q10, state.physics.qpos[N_ACT:]])
         return jnp.sum(
-            (env._sites_soa(q)[env._palm_geom] - target_pt) ** 2)
+            (env._sites_soa(q, state.frame)[env._palm_geom]
+             - target_pt) ** 2)
 
     g = jax.jit(jax.grad(obj))
     q = q_init
@@ -363,8 +402,10 @@ def scripted_open(env, state0=None, log=None, frames=None):
         if log:
             log(msg)
 
-    # 1) pre-press: palm above the handle bar, digits curled clear
-    pts = env._sites_soa(state.physics.qpos)
+    # 1) pre-press: palm above the handle bar, digits curled clear (all
+    # scene geometry through the episode's sampled frame, so the oracle
+    # adapts to the scene distribution)
+    pts = env._sites_soa(state.physics.qpos, state.frame)
     handle = 0.5 * (pts[env._handle_geoms[0]] + pts[env._handle_geoms[1]])
     pre_pt = handle + jnp.array([0.0, 0.0, 0.075])
     q = _ik(env, state, pre_pt, state.physics.qpos[:N_ACT], iters=1500)
@@ -404,7 +445,7 @@ def scripted_open(env, state0=None, log=None, frames=None):
     #    panel point exits it beyond ~1.25 rad — re-targeting closer to the
     #    hinge (the panel edge segment spans radius 0.1-0.5) keeps every
     #    sweep target comfortably reachable through the success angle.
-    hinge = jnp.asarray(_HINGE_XY)
+    hinge = state.frame[:2]
     neutral = jnp.array([0.0, 0.3, -0.6, 0.3, 1.4, 1.6, 1.4, 1.6, -1.2, -1.4])
     state, _ = servo(state, neutral, rounds=2, n=60)
     note(f"withdrawn: door={float(state.physics.qpos[DOOR]):.3f}")
@@ -420,7 +461,8 @@ def scripted_open(env, state0=None, log=None, frames=None):
             r -= 0.02
         pt = hinge + r * jnp.array([jnp.sin(a), -jnp.cos(a)])
         tan = jnp.array([jnp.cos(a), jnp.sin(a)])
-        behind = jnp.array([pt[0] - 0.07 * tan[0], pt[1] - 0.07 * tan[1], 1.0])
+        behind = jnp.array([pt[0] - 0.07 * tan[0], pt[1] - 0.07 * tan[1],
+                            state.frame[2]])
         q = _ik(env, state, behind, neutral, iters=800)
         state, _ = servo(state, q, rounds=3, n=40)
         note(f"sweep: r={r:.2f} door={float(state.physics.qpos[DOOR]):.3f}")

@@ -47,6 +47,16 @@ HEAD_LOCAL = (0.24, 0.0, 0.035)       # head centre in the hammer frame
 _LOW = (-1.5, -1.2, -2.0, -2.0, -1.2, -0.55)
 _HIGH = (1.5, 1.2, 2.0, 2.0, 0.55, 1.2)
 
+# nominal nail-board position and the per-episode board-height span.
+# mj_envs hammer-v0 randomizes the board body z each reset (reset_model
+# draws it over a ~0.15 m span and the nail target rides it; the target
+# position is in the observation for exactly this reason). Here the board
+# sits ON the bench, so the sampled offset is upward-only: z = BENCH_Z +
+# U(0, BOARD_Z_SPAN) — the legacy scene (board flush with the bench) is
+# the span's lower edge.
+BOARD_POS = (NAIL_X, 0.0, BENCH_Z)
+BOARD_Z_SPAN = 0.15
+
 
 def _build_model():
     b = ModelBuilder()
@@ -86,9 +96,11 @@ def _build_model():
                offset_pos=(0, 0, 0), mass=0.45, com=(0.16, 0.0, 0.01),
                inertia=np.diag([2e-3, 3e-3, 3e-3]), damping=0.02,
                armature=1e-4)
-    # --- nail: vertical slide held by dry friction (as envs.hammer) ---
+    # --- nail: vertical slide held by dry friction (as envs.hammer); the
+    # offset is the NOMINAL board position — per episode the engine
+    # overrides it with the sampled state.board via dyn_body ---
     b.add_body(parent=-1, joint_type=SLIDE, axis=(0, 0, -1),
-               offset_pos=(NAIL_X, 0.0, BENCH_Z), mass=0.4, damping=10.0,
+               offset_pos=BOARD_POS, mass=0.4, damping=10.0,
                armature=0.01, friction_loss=16.0,  # static hold 4x the
                # nail weight (gravity cannot seat it; only impacts do) —
                # sized so the 0.45 kg swung hammer seats it in ~15 arcs
@@ -133,6 +145,7 @@ def _build_model():
 
 class HammerHandState(struct.PyTreeNode):
     physics: PhysicsState
+    board: jax.Array  # (3,) sampled nail-board position (z randomized)
     t: jax.Array
 
 
@@ -150,6 +163,7 @@ class HammerHand:
     kp_finger: float = 8.0
     kd_finger: float = 0.6
     engine: str = "soa"  # "tensor" is the fast-compile CPU test engine
+    fixed_scene: bool = False  # True: pin the legacy board (flush bench)
 
     name = "hammer-v0-hand"
 
@@ -169,18 +183,25 @@ class HammerHand:
             # numerically-equivalent stacked path re-rolls MPC success
             # from ~3/5 to 1/10 seeds (RESULTS.md round-3 engine
             # study), so the certified behavior keeps the certified
-            # dynamics path
+            # dynamics path. The sampled board is a runtime input
+            # (dyn_body), as in envs.hammer.
             step = make_single_step_soa(model, self.dt, self.substeps,
-                                        stacked=False)
+                                        stacked=False, dyn_body=NAIL)
         else:
             from ppi_tpu.envs.physics import engine as _te
 
-            def step(q, qd, tau):
-                s = _te.step(model, PhysicsState(qpos=q, qvel=qd), tau,
+            def step(q, qd, tau, board):
+                # pytree model: patch the nail body's joint-origin offset
+                # with the traced board position (independent tensor-path
+                # counterpart of the SoA dyn_body override)
+                mm = model.replace(
+                    offset_pos=model.offset_pos.at[NAIL].set(board))
+                s = _te.step(mm, PhysicsState(qpos=q, qvel=qd), tau,
                              self.dt, self.substeps)
                 return s.qpos, s.qvel
         object.__setattr__(self, "_step_soa", step)
-        object.__setattr__(self, "_sites_soa", make_sites_soa(model))
+        object.__setattr__(self, "_sites_soa",
+                           make_sites_soa(model, dyn_body=NAIL))
 
     @property
     def action_low(self):
@@ -190,8 +211,15 @@ class HammerHand:
     def action_high(self):
         return jnp.array(_HIGH)
 
+    def sample_board(self, key):
+        """Per-episode nail-board position: z = bench + U(0, BOARD_Z_SPAN)
+        (mj_envs reset semantics; the board sits on the bench)."""
+        if self.fixed_scene:
+            return jnp.asarray(BOARD_POS)
+        dz = jax.random.uniform(key, (), minval=0.0, maxval=BOARD_Z_SPAN)
+        return jnp.asarray(BOARD_POS) + jnp.array([0.0, 0.0, 1.0]) * dz
+
     def reset(self, key):
-        del key
         # gripper hovering over the grip point, fingers open; the free
         # hammer rests on the bench (z settles onto the handle-sphere
         # contact, pitch settles head-down slightly)
@@ -200,6 +228,7 @@ class HammerHand:
                 .at[HAM_Z].set(-0.025))
         return HammerHandState(
             physics=PhysicsState(qpos=qpos, qvel=jnp.zeros(10)),
+            board=self.sample_board(key),
             t=jnp.zeros((), jnp.int32))
 
     # reset arm posture: palm at (0.52, 0.78) — 0.115 m above the handle
@@ -213,8 +242,9 @@ class HammerHand:
         kd = jnp.array([self.kd] * 4 + [self.kd_finger] * 2)
         return kp, kd
 
-    def _sites(self, qpos):
-        pts = self._sites_soa(qpos)
+    def _sites(self, qpos, board=None):
+        pts = self._sites_soa(qpos, jnp.asarray(BOARD_POS)
+                              if board is None else board)
         palm = pts[self._palm_geom]
         grip = 0.5 * (pts[self._grip_geoms[0]] + pts[self._grip_geoms[1]])
         head = pts[self._head_geom]
@@ -227,10 +257,10 @@ class HammerHand:
         kp, kd = self._gains()
         tau = jnp.zeros(10).at[:N_ACT].set(
             kp * (target - q[:N_ACT]) - kd * qd[:N_ACT])
-        qpos, qvel = self._step_soa(q, qd, tau)
+        qpos, qvel = self._step_soa(q, qd, tau, state.board)
         phys = PhysicsState(qpos=qpos, qvel=qvel)
 
-        palm, grip, head, nail = self._sites(qpos)
+        palm, grip, head, nail = self._sites(qpos, state.board)
         depth = qpos[NAIL]
         reach = jnp.linalg.norm(palm - grip)
         approach = jnp.linalg.norm(head - nail)
@@ -245,6 +275,13 @@ class HammerHand:
         return state.replace(physics=phys, t=state.t + 1), reward
 
     # ---- scalar-SoA kernel contract (pallas_rollout) ------------------
+    # per-episode dynamics constants: the sampled board position overrides
+    # the nail body's joint-origin offset inside the megakernel
+    scalar_dyn_body = NAIL
+
+    def scalar_dyn_consts(self, state):
+        return state.board
+
     def scalar_torque(self, m, q, qd, act):
         kps = [self.kp] * 4 + [self.kp_finger] * 2
         kds = [self.kd] * 4 + [self.kd_finger] * 2
@@ -283,8 +320,11 @@ class HammerHand:
                 + 10.0 * (depth > 0.95 * NAIL_DEPTH))
 
     def observe(self, state):
+        # mj_envs hammer-v0 exposes the nail target position because the
+        # board height is randomized per episode — the nail site position
+        # here already carries the sampled board (FK through state.board)
         q, qd = state.physics.qpos, state.physics.qvel
-        palm, grip, head, nail = self._sites(q)
+        palm, grip, head, nail = self._sites(q, state.board)
         return jnp.concatenate([
             q[:N_ACT], qd[:N_ACT], q[NAIL:NAIL + 1], qd[NAIL:NAIL + 1],
             palm, grip, head, nail, palm - grip, head - nail])
@@ -304,14 +344,15 @@ class HammerHand:
 def _ik_palm(env, state, target_pt, q_init, iters=500, lr=0.02,
              level_weight=0.05):
     """Gradient IK for the palm over the 4 arm joints (fingers held);
-    penalizes wrist-link tilt so the cradle stays level."""
+    penalizes wrist-link tilt so the cradle stays level (FK through the
+    episode's sampled board)."""
     lo = jnp.array(_LOW)
     hi = jnp.array(_HIGH)
     fing = q_init[4:]
 
     def obj(qa4):
         qfull = jnp.concatenate([qa4, fing, state.physics.qpos[N_ACT:]])
-        p = env._sites_soa(qfull)[env._palm_geom]
+        p = env._sites_soa(qfull, state.board)[env._palm_geom]
         lvl = (qa4[1] + qa4[2] + qa4[3]) ** 2
         return jnp.sum((p - target_pt) ** 2) + level_weight * lvl
 
@@ -384,8 +425,11 @@ def scripted_hammer(env, state0=None, log=None, max_swings=22, frames=None):
     state = run(state, lift, 30)
     note(f"lifted: ham_z={float(state.physics.qpos[HAM_Z]):.3f}")
 
-    # carry: IK the palm out toward the nail, interpolated
-    carry = _ik_palm(env, state, jnp.asarray([0.64, 0.0, 0.80]),
+    # carry: IK the palm out toward the (sampled) nail, interpolated —
+    # the hover point is the tuned nominal offset from the board
+    # (board + (-0.18, 0, +0.20) = (0.64, 0, 0.80) on the legacy scene)
+    carry = _ik_palm(env, state,
+                     state.board + jnp.asarray([-0.18, 0.0, 0.20]),
                      jnp.clip(lift, lo, hi))
     start = jnp.clip(lift, lo, hi)
     for alpha in np.linspace(0.0, 1.0, 25):

@@ -115,14 +115,17 @@ def render_door(env, qpos_history, path, stride=2, frame=None):
                     ylim=(-0.9, 0.7), stride=stride)
 
 
-def render_door_hand(env, qpos_history, path, stride=2):
+def render_door_hand(env, qpos_history, path, stride=2, frame=None):
     """Top-down schematic of the hand-embodiment door task: arm links,
-    three digits, door panel, handle bar (``envs.door_hand.DoorHand``)."""
+    three digits, door panel, handle bar (``envs.door_hand.DoorHand``).
+    ``frame`` is the episode's sampled door-frame origin (defaults to the
+    nominal scene)."""
     qpos_history = np.asarray(qpos_history)
-    from ppi_tpu.envs.door_hand import DOOR, LATCH
+    from ppi_tpu.envs.door_hand import DOOR, FRAME, LATCH
     from ppi_tpu.envs.physics.engine_soa import make_body_frames_soa
-    frames_fn = make_body_frames_soa(env._model)
+    frames_fn = make_body_frames_soa(env._model, dyn_body=DOOR)
     sites = env._sites_soa
+    fr = np.asarray(FRAME if frame is None else frame, np.float32)
     # geom order fixed by _build_model: palm, (prox, tip) x 3 digits,
     # handle a/b, panel a/b
     DIGITS = ((1, 2), (3, 4), (5, 6))
@@ -130,9 +133,9 @@ def render_door_hand(env, qpos_history, path, stride=2):
 
     def draw(ax, t):
         q = qpos_history[t]
-        rot, pos = frames_fn(q)
+        rot, pos = frames_fn(q, fr)
         pos = np.asarray(pos)
-        pts = np.asarray(sites(q))
+        pts = np.asarray(sites(q, fr))
         palm = pts[env._palm_geom]
         # arm chain (top-down, x-y plane)
         xs = list(pos[:4, 0]) + [float(palm[0])]
@@ -156,24 +159,26 @@ def render_door_hand(env, qpos_history, path, stride=2):
                  ylim=(-0.9, 0.7), stride=stride)
 
 
-def render_hammer_hand(env, qpos_history, path, stride=2):
+def render_hammer_hand(env, qpos_history, path, stride=2, board=None):
     """Side view (x-z) of the grasped-hammer task: arm + fingers, the free
     hammer (handle capsule + head), nail and bench
-    (``envs.hammer_hand.HammerHand``)."""
+    (``envs.hammer_hand.HammerHand``). ``board`` is the episode's sampled
+    nail-board position (defaults to the nominal scene)."""
     qpos_history = np.asarray(qpos_history)
-    from ppi_tpu.envs.hammer_hand import BENCH_Z, NAIL, NAIL_X
+    from ppi_tpu.envs.hammer_hand import BENCH_Z, BOARD_POS, NAIL
     from ppi_tpu.envs.physics.engine_soa import make_body_frames_soa
-    frames_fn = make_body_frames_soa(env._model)
+    frames_fn = make_body_frames_soa(env._model, dyn_body=NAIL)
     sites = env._sites_soa
+    bd = np.asarray(BOARD_POS if board is None else board, np.float32)
     # geom order fixed by _build_model: palm, tip_f, tip_a, grip_a,
     # grip_b, head, nail_a, nail_b
     PALM, TIP_F, TIP_A, GRIP_A, GRIP_B, HEAD = range(6)
 
     def draw(ax, t):
         q = qpos_history[t]
-        rot, pos = frames_fn(q)
+        rot, pos = frames_fn(q, bd)
         pos = np.asarray(pos)
-        pts = np.asarray(sites(q))
+        pts = np.asarray(sites(q, bd))
         ax.axhline(BENCH_Z, color="k", lw=1)
         # arm chain (bodies 0-3) to the palm
         xs = list(pos[:4, 0]) + [pts[PALM, 0]]
@@ -188,10 +193,9 @@ def render_hammer_hand(env, qpos_history, path, stride=2):
         ax.plot([pts[GRIP_A, 0], pts[HEAD, 0]],
                 [pts[GRIP_A, 2], pts[HEAD, 2]], lw=4, color="C1")
         ax.plot([pts[HEAD, 0]], [pts[HEAD, 2]], "s", ms=12, color="C1")
-        # nail: a vertical pin at NAIL_X sinking with depth
+        # nail: a vertical pin on the (sampled) board sinking with depth
         depth = q[NAIL]
-        ax.plot([NAIL_X, NAIL_X], [BENCH_Z - 0.01,
-                                   BENCH_Z + 0.06 - depth],
+        ax.plot([bd[0], bd[0]], [bd[2] - 0.01, bd[2] + 0.06 - depth],
                 lw=3, color="C3")
         ax.set_title(f"nail depth={depth:.3f}")
 

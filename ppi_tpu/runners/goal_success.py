@@ -56,6 +56,18 @@ CONFIGS = {
                     timesteps=250, horizon=30, n_samples=64),
     "hammer-v0": dict(alg="Essps", policy="RffFeatures", lengthscale=0.15,
                       n_elites=10, timesteps=250, horizon=30, n_samples=64),
+    # hand embodiments over the same scene distributions (device-scale:
+    # the scalar-SoA hand graphs are minutes-scale compiles on CPU);
+    # chunk=1 per the relocate-v0-hand precedent (shape-specific TPU
+    # runtime faults at vmapped long-T hand programs)
+    "door-v0-hand": dict(alg="Lbps", policy="SquaredExponentialKernel",
+                         lengthscale="4dt", delta=0.9, n_iters=2,
+                         anneal=0.5, timesteps=250, horizon=30,
+                         n_samples=64, chunk=1),
+    "hammer-v0-hand": dict(alg="Lbps", policy="SquaredExponentialKernel",
+                           lengthscale="4dt", delta=0.9, n_iters=2,
+                           anneal=0.5, timesteps=400, horizon=30,
+                           n_samples=128, chunk=1),
 }
 
 
@@ -63,7 +75,9 @@ def build_canonical_agent(env_name, cfg):
     """env + jittable Mpc agent + initial policy state from a CONFIGS-style
     dict (``alg``/``policy``/``timesteps``/``horizon``/``n_samples`` plus
     optional hyperparameters). ``lengthscale`` may be the string ``"4dt"``
-    for the canonical 4 x env.dt choice. Shared with runners.multi_start."""
+    for the canonical 4 x env.dt choice; ``env_kwargs`` is forwarded to
+    the env constructor (e.g. fixed_scene). Shared with
+    runners.multi_start."""
     import jax.numpy as jnp
 
     from ppi_tpu.algorithms import make_solver
@@ -71,7 +85,7 @@ def build_canonical_agent(env_name, cfg):
     from ppi_tpu.policies import design_moments, make_policy
     from ppi_tpu.runners.run_mpc import ENVS
 
-    env = ENVS[env_name]()
+    env = ENVS[env_name](**cfg.get("env_kwargs", {}))
     ls = cfg.get("lengthscale", 1.0)
     if ls == "4dt":
         ls = 4 * env.dt

@@ -279,9 +279,11 @@ def main(args):
                 out = render_mod.render_door(env, qh, out,
                                              frame=env_state.frame)
             elif args.env == "door-v0-hand":
-                out = render_mod.render_door_hand(env, qh, out)
+                out = render_mod.render_door_hand(env, qh, out,
+                                                  frame=env_state.frame)
             elif args.env == "hammer-v0-hand":
-                out = render_mod.render_hammer_hand(env, qh, out)
+                out = render_mod.render_hammer_hand(env, qh, out,
+                                                    board=env_state.board)
             elif args.env == "relocate-v0":
                 out = render_mod.render_relocate(
                     env, qh, out, target=env_state.target)

@@ -26,7 +26,8 @@ n_samples = int(sys.argv[1])
 n_elites = int(sys.argv[2])
 seeds = [int(s) for s in sys.argv[3:]] or [0, 1, 2, 3, 4]
 
-env = HammerHand(engine="soa")
+env = HammerHand(engine="soa", fixed_scene=True)  # the recorded
+# study results are pinned to the nominal (legacy) scene
 horizon = 30
 mean, ci, co = design_moments(env.action_low, env.action_high, 1000.0)
 family, policy = make_policy(

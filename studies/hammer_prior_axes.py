@@ -34,7 +34,8 @@ anneal = float(sys.argv[3])
 seeds = [int(s) for s in sys.argv[4:]] or [0, 1, 2, 3, 4]
 n_samples = 128
 
-env = HammerHand(engine="soa")
+env = HammerHand(engine="soa", fixed_scene=True)  # the recorded
+# study results are pinned to the nominal (legacy) scene
 mean, ci, co = design_moments(env.action_low, env.action_high, 1000.0)
 family, policy = make_policy(
     "SquaredExponentialKernel", env.dt * jnp.arange(horizon),

@@ -72,7 +72,9 @@ class TestDoorHand:
         """Feasibility oracle: press the handle, pop the bolt, sweep the
         panel past the success angle — all within actuation limits (the
         analogue of the reference's scripted __main__ smoke tests;
-        reference: ball_in_a_cup.py:664-699)."""
+        reference: ball_in_a_cup.py:664-699). Runs on the key(0)-SAMPLED
+        frame: the oracle IKs against the episode's scene, so this also
+        pins the scene-aware FK plumbing end-to-end."""
         msgs = []
         state, info = scripted_open(env, log=msgs.append)
         assert info["success"], (info, msgs)
@@ -186,3 +188,55 @@ class TestDoorHand:
                      + 10.0 * (door_angle > 1.35) + 2.0 * door_angle)
             # the approach-distance term is embodiment-specific; bound it
             assert abs(r_hand - bonus) < 1.0
+
+
+class TestDoorHandSampledScene:
+    """Per-episode sampled door frame on the hand embodiment (mj_envs
+    door-v0 randomizes door_body_pos per reset regardless of embodiment;
+    same mechanism as envs.door — dyn_body on the SoA path, a pytree
+    model patch on the tensor path)."""
+
+    def test_frames_sampled_and_pinnable(self, env):
+        from ppi_tpu.envs.door_hand import FRAME, FRAME_RANGE
+        f1 = env.reset(jax.random.key(1)).frame
+        f2 = env.reset(jax.random.key(2)).frame
+        assert not np.allclose(np.asarray(f1), np.asarray(f2))
+        rng = np.asarray(FRAME_RANGE)
+        for f in (f1, f2):
+            assert (np.abs(np.asarray(f) - np.asarray(FRAME))
+                    <= rng + 1e-6).all()
+        pinned = DoorHand(engine="tensor", fixed_scene=True)
+        np.testing.assert_array_equal(
+            np.asarray(pinned.reset(jax.random.key(3)).frame),
+            np.asarray(jnp.asarray(FRAME)))
+
+    def test_handle_rides_the_sampled_frame(self, env):
+        """Translation equivariance: the door subtree (handle) shifts
+        exactly with the frame; the arm (palm) does not move."""
+        s = env.reset(jax.random.key(4))
+        d = jnp.asarray([0.03, -0.02, 0.05])
+        palm0, handle0 = env._sites(s.physics.qpos, s.frame)
+        palm1, handle1 = env._sites(s.physics.qpos, s.frame + d)
+        np.testing.assert_allclose(np.asarray(palm1), np.asarray(palm0),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(handle1),
+                                   np.asarray(handle0 + d),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_observation_carries_frame_and_dynamics_see_it(self, env):
+        """The obs exposes the sampled frame (mj_envs door_body_pos
+        parity), and stepping the same qpos under two frames diverges
+        once the hand interacts with the scene."""
+        s1 = env.reset(jax.random.key(5))
+        obs = np.asarray(env.observe(s1))
+        assert np.allclose(obs[-4:-1], np.asarray(s1.frame))
+        # drive toward the handle for a while under both frames
+        s2 = s1.replace(frame=s1.frame + jnp.asarray([0.0, 0.0, 0.075]))
+        a = s1.physics.qpos[:N_ACT]
+        r1 = r2 = 0.0
+        for _ in range(5):
+            s1, rr1 = env.step(s1, a)
+            s2, rr2 = env.step(s2, a)
+            r1, r2 = r1 + float(rr1), r2 + float(rr2)
+        # the approach-distance reward term must differ between scenes
+        assert r1 != r2

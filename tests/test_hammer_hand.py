@@ -57,10 +57,15 @@ class TestHammerHand:
                             s0, None, length=80)
         assert float(s.physics.qpos[NAIL]) < 1e-3
 
-    def test_scripted_grasp_carry_and_nail(self, env):
+    def test_scripted_grasp_carry_and_nail(self):
         """Feasibility oracle: cage the free handle, lift it off the
         bench, carry it to the nail and seat the nail with arc swings —
-        the full grasped-tool-use mechanic end-to-end."""
+        the full grasped-tool-use mechanic end-to-end. Pinned to the
+        canonical scene: the oracle's swing arc is tuned to the nominal
+        board (on a raised board it can knock the hammer away — the
+        known absorbing failure mode); scene-DISTRIBUTION success is
+        MPC's claim, measured by runners.goal_success."""
+        env = HammerHand(engine="tensor", fixed_scene=True)
         msgs = []
         state, info = scripted_hammer(env, log=msgs.append)
         assert info["success"], (info, msgs)
@@ -86,12 +91,62 @@ class TestHammerHand:
             kp * (target - q[:N_ACT]) - kd * qd[:N_ACT])
         np.testing.assert_allclose(np.asarray(tau_s), np.asarray(tau_v),
                                    rtol=1e-6, atol=1e-6)
-        # reward: scalar contract vs the step-path formula
+        # reward: scalar contract vs the step-path formula. The kernel
+        # evaluates scalar_reward on the episode-patched model (dyn_body)
+        # — patch the same sampled board here
+        m_ep = m.with_body_offset(NAIL, tuple(s0.board))
         _, r_step = env.step(s0, s0.physics.qpos[:N_ACT])
         # step computes reward on the post-step state; evaluate the scalar
         # reward on that same state for comparison
         s1, _ = env.step(s0, s0.physics.qpos[:N_ACT])
         r_scalar = float(env.scalar_reward(
-            m, tuple(s1.physics.qpos), tuple(s1.physics.qvel)))
+            m_ep, tuple(s1.physics.qpos), tuple(s1.physics.qvel)))
         np.testing.assert_allclose(r_scalar, float(r_step), rtol=1e-4,
                                    atol=1e-4)
+
+
+class TestHammerHandSampledScene:
+    """Per-episode sampled nail-board height on the grasped-hammer env
+    (mj_envs hammer-v0 randomizes the board z per reset; the board sits
+    on the bench so the span is upward-only)."""
+
+    def test_boards_sampled_and_pinnable(self, env):
+        from ppi_tpu.envs.hammer_hand import BOARD_POS, BOARD_Z_SPAN
+        b1 = env.reset(jax.random.key(1)).board
+        b2 = env.reset(jax.random.key(2)).board
+        assert float(b1[2]) != float(b2[2])
+        for b in (b1, b2):
+            np.testing.assert_allclose(np.asarray(b[:2]),
+                                       np.asarray(BOARD_POS[:2]))
+            assert BENCH_Z - 1e-6 <= float(b[2]) <= BENCH_Z + BOARD_Z_SPAN
+        pinned = HammerHand(engine="tensor", fixed_scene=True)
+        np.testing.assert_array_equal(
+            np.asarray(pinned.reset(jax.random.key(3)).board),
+            np.asarray(jnp.asarray(BOARD_POS)))
+
+    def test_nail_site_rides_the_board(self, env):
+        s = env.reset(jax.random.key(4))
+        dz = jnp.asarray([0.0, 0.0, 0.06])
+        _, _, _, nail0 = env._sites(s.physics.qpos, s.board)
+        _, _, _, nail1 = env._sites(s.physics.qpos, s.board + dz)
+        np.testing.assert_allclose(np.asarray(nail1),
+                                   np.asarray(nail0 + dz),
+                                   rtol=1e-5, atol=1e-6)
+        # the hammer (separate root) does not move with the board
+        _, _, head0, _ = env._sites(s.physics.qpos, s.board)
+        _, _, head1, _ = env._sites(s.physics.qpos, s.board + dz)
+        np.testing.assert_allclose(np.asarray(head1), np.asarray(head0),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_observation_nail_carries_board(self, env):
+        """The nail block of the observation (mj_envs exposes the target
+        position because the board is randomized) rides state.board."""
+        s = env.reset(jax.random.key(5))
+        s_hi = s.replace(board=s.board + jnp.asarray([0.0, 0.0, 0.1]))
+        o_lo = np.asarray(env.observe(s))
+        o_hi = np.asarray(env.observe(s_hi))
+        # nail position block: [palm(3) grip(3) head(3) nail(3) ...] after
+        # the 2*N_ACT + 2 joint scalars
+        i = 2 * N_ACT + 2 + 9
+        np.testing.assert_allclose(o_hi[i:i + 3] - o_lo[i:i + 3],
+                                   [0.0, 0.0, 0.1], atol=1e-6)

@@ -133,7 +133,8 @@ class TestDoorHandOnDevice:
         from ppi_tpu.mpc import Mpc
         from ppi_tpu.policies import design_moments, make_policy
 
-        env = DoorHand(engine="soa")
+        env = DoorHand(engine="soa", fixed_scene=True)  # certifies
+        # the canonical scene; the scene DISTRIBUTION is goal_success's job
         horizon = 30
         mean, ci, co = design_moments(env.action_low, env.action_high,
                                       1000.0)
@@ -168,7 +169,8 @@ class TestDoorHandOnDevice:
         from ppi_tpu.mpc import Mpc
         from ppi_tpu.policies import design_moments, make_policy
 
-        env = HammerHand(engine="soa")
+        env = HammerHand(engine="soa", fixed_scene=True)  # certifies
+        # the canonical scene; the scene DISTRIBUTION is goal_success's job
         horizon = 30
         mean, ci, co = design_moments(env.action_low, env.action_high,
                                       1000.0)
