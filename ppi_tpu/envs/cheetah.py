@@ -89,6 +89,7 @@ class Cheetah:
     dt: float = 0.02
     substeps: int = 4
     max_torque: float = 30.0
+    fixed_init: bool = False  # True: pin the zero-noise legacy start
 
     name = "cheetah"
 
@@ -108,10 +109,16 @@ class Cheetah:
         return self.max_torque * jnp.ones(self.action_dim)
 
     def reset(self, key):
-        del key
         qpos = jnp.zeros(NQ).at[3].set(0.2).at[4].set(-0.3) \
             .at[6].set(-0.2).at[7].set(0.3)
-        return CheetahState(physics=PhysicsState(qpos=qpos, qvel=jnp.zeros(NQ)),
+        qvel = jnp.zeros(NQ)
+        if not self.fixed_init:
+            # gym HalfCheetah reset: qpos += U(-0.1, 0.1), qvel += N(0, 0.1)
+            kq, kv = jax.random.split(key)
+            qpos = qpos + jax.random.uniform(kq, (NQ,), minval=-0.1,
+                                             maxval=0.1)
+            qvel = 0.1 * jax.random.normal(kv, (NQ,))
+        return CheetahState(physics=PhysicsState(qpos=qpos, qvel=qvel),
                             t=jnp.zeros((), jnp.int32))
 
     def step(self, state, action):

@@ -60,6 +60,7 @@ class FingerSpin:
     dt: float = 0.02
     substeps: int = 2
     max_torque: float = 4.0
+    fixed_init: bool = False  # True: pin the zero-noise legacy start
 
     name = "finger~spin"
 
@@ -79,10 +80,21 @@ class FingerSpin:
         return self.max_torque * jnp.ones(2)
 
     def reset(self, key):
-        del key
+        qpos = jnp.array([-0.2, -0.5, 0.0])
+        if not self.fixed_init:
+            # dm_control finger~spin randomizes the finger joint angles
+            # and the free spinner hinge per episode; re-hosted as a
+            # bounded perturbation about the engage pose (+ uniform
+            # spinner angle — its full range, as in dm_control). The
+            # full-range FINGER randomization is deliberately narrowed:
+            # see PARITY.md (reset-distribution deltas).
+            kf, ks = jax.random.split(key)
+            qpos = qpos.at[:2].add(
+                jax.random.uniform(kf, (2,), minval=-0.2, maxval=0.2))
+            qpos = qpos.at[SPINNER].set(
+                jax.random.uniform(ks, (), minval=-jnp.pi, maxval=jnp.pi))
         return FingerState(
-            physics=PhysicsState(qpos=jnp.array([-0.2, -0.5, 0.0]),
-                                 qvel=jnp.zeros(3)),
+            physics=PhysicsState(qpos=qpos, qvel=jnp.zeros(3)),
             t=jnp.zeros((), jnp.int32))
 
     def step(self, state, action):

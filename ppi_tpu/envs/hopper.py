@@ -68,6 +68,7 @@ class Hopper:
     dt: float = 0.02
     substeps: int = 4
     max_torque: float = 40.0
+    fixed_init: bool = False  # True: pin the zero-noise legacy start
 
     name = "hopper"
 
@@ -87,9 +88,15 @@ class Hopper:
         return self.max_torque * jnp.ones(3)
 
     def reset(self, key):
-        del key
         qpos = jnp.zeros(NQ).at[3].set(0.2).at[4].set(-0.4).at[5].set(0.2)
-        return HopperState(physics=PhysicsState(qpos=qpos, qvel=jnp.zeros(NQ)),
+        qvel = jnp.zeros(NQ)
+        if not self.fixed_init:
+            # gym Hopper reset: qpos/qvel += U(-5e-3, 5e-3)
+            kq, kv = jax.random.split(key)
+            qpos = qpos + jax.random.uniform(kq, (NQ,), minval=-5e-3,
+                                             maxval=5e-3)
+            qvel = jax.random.uniform(kv, (NQ,), minval=-5e-3, maxval=5e-3)
+        return HopperState(physics=PhysicsState(qpos=qpos, qvel=qvel),
                            t=jnp.zeros((), jnp.int32))
 
     def step(self, state, action):

@@ -39,7 +39,8 @@ class Reacher:
     dt: float = 0.02
     substeps: int = 2
     max_torque: float = 1.0
-    target: tuple = (0.15, 0.25)
+    target: tuple = (0.15, 0.25)  # legacy pinned target (fixed_goal)
+    fixed_goal: bool = False  # True: pin the legacy target + zero-noise init
 
     def __post_init__(self):
         object.__setattr__(self, "_model", _build_model())
@@ -52,11 +53,32 @@ class Reacher:
     def action_high(self):
         return self.max_torque * jnp.ones(2)
 
+    def sample_target(self, key):
+        """gym Reacher samples the goal uniformly over the square clipped
+        to the 0.2 m disk (resample-until-inside). Re-hosted under jit as
+        a fixed 8-draw first-accept (acceptance ~pi/4 per draw, miss
+        probability ~2e-5); all-miss fallback projects radially just
+        inside the disk."""
+        draws = jax.random.uniform(key, (8, 2), minval=-0.2, maxval=0.2)
+        ok = jnp.linalg.norm(draws, axis=1) < 0.2
+        idx = jnp.argmax(ok)  # first accepted draw
+        cand = draws[idx]
+        fallback = cand * (0.19 / jnp.maximum(jnp.linalg.norm(cand), 1e-9))
+        return jnp.where(jnp.any(ok), cand, fallback)
+
     def reset(self, key):
-        del key
+        if self.fixed_goal:
+            return ReacherState(
+                physics=PhysicsState(qpos=jnp.zeros(2), qvel=jnp.zeros(2)),
+                target=jnp.asarray(self.target),
+                t=jnp.zeros((), jnp.int32))
+        # gym Reacher reset: qpos += U(-0.1, 0.1), qvel += U(-5e-3, 5e-3)
+        kq, kv, kt = jax.random.split(key, 3)
+        qpos = jax.random.uniform(kq, (2,), minval=-0.1, maxval=0.1)
+        qvel = jax.random.uniform(kv, (2,), minval=-5e-3, maxval=5e-3)
         return ReacherState(
-            physics=PhysicsState(qpos=jnp.zeros(2), qvel=jnp.zeros(2)),
-            target=jnp.asarray(self.target), t=jnp.zeros((), jnp.int32))
+            physics=PhysicsState(qpos=qpos, qvel=qvel),
+            target=self.sample_target(kt), t=jnp.zeros((), jnp.int32))
 
     def fingertip(self, qpos):
         q1, q2 = qpos[0], qpos[1]

@@ -91,6 +91,7 @@ class HumanoidStandup:
     dt: float = 0.02
     substeps: int = 4
     max_torque: float = 60.0
+    fixed_init: bool = False  # True: pin the zero-noise legacy start
 
     name = "humanoid-standup"
 
@@ -113,12 +114,18 @@ class HumanoidStandup:
         return self.max_torque * jnp.ones(self.action_dim)
 
     def reset(self, key):
-        del key
         # supine: torso flat, legs slightly bent, arm alongside
         qpos = jnp.zeros(NQ).at[HIP].set(-0.3).at[KNEE].set(0.5) \
             .at[ELBOW].set(-0.2)
+        qvel = jnp.zeros(NQ)
+        if not self.fixed_init:
+            # gym HumanoidStandup reset: qpos/qvel += U(-0.01, 0.01)
+            kq, kv = jax.random.split(key)
+            qpos = qpos + jax.random.uniform(kq, (NQ,), minval=-0.01,
+                                             maxval=0.01)
+            qvel = jax.random.uniform(kv, (NQ,), minval=-0.01, maxval=0.01)
         return StandupState(
-            physics=PhysicsState(qpos=qpos, qvel=jnp.zeros(NQ)),
+            physics=PhysicsState(qpos=qpos, qvel=qvel),
             t=jnp.zeros((), jnp.int32))
 
     def head_height(self, qpos):

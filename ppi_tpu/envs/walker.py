@@ -72,6 +72,7 @@ class Walker:
     dt: float = 0.02
     substeps: int = 4
     max_torque: float = 35.0
+    fixed_init: bool = False  # True: pin the zero-noise legacy start
 
     name = "walker2d"
 
@@ -91,10 +92,16 @@ class Walker:
         return self.max_torque * jnp.ones(6)
 
     def reset(self, key):
-        del key
         qpos = jnp.zeros(NQ).at[3].set(0.1).at[4].set(-0.2).at[6].set(-0.1) \
             .at[7].set(-0.1)
-        return WalkerState(physics=PhysicsState(qpos=qpos, qvel=jnp.zeros(NQ)),
+        qvel = jnp.zeros(NQ)
+        if not self.fixed_init:
+            # gym Walker2d reset: qpos/qvel += U(-5e-3, 5e-3)
+            kq, kv = jax.random.split(key)
+            qpos = qpos + jax.random.uniform(kq, (NQ,), minval=-5e-3,
+                                             maxval=5e-3)
+            qvel = jax.random.uniform(kv, (NQ,), minval=-5e-3, maxval=5e-3)
+        return WalkerState(physics=PhysicsState(qpos=qpos, qvel=qvel),
                            t=jnp.zeros((), jnp.int32))
 
     def step(self, state, action):

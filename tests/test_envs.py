@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ppi_tpu.algorithms import make_solver
 from ppi_tpu.envs.base import batch_rollout
@@ -33,8 +34,12 @@ class TestReacher:
         assert np.isfinite(np.asarray(rew)).all()
 
     def test_mpc_reaches_target(self):
+        # key(1) samples a NEAR target (|t| = 0.11): reaching it needs the
+        # elbow folded ~2.6 rad, which the 15-step horizon of the legacy
+        # fixed-target config can't plan — H=20 / T=80 covers the sampled
+        # target distribution (measured dist 0.008 here, 0.27 at H=15/T=50)
         env = Reacher()
-        agent, pol = mppi_agent(env, horizon=15, timesteps=50, n_samples=64,
+        agent, pol = mppi_agent(env, horizon=20, timesteps=80, n_samples=64,
                                 policy="WhiteNoiseIid")
         carry = agent.init(pol, jax.random.key(0))
         es = env.reset(jax.random.key(1))
@@ -271,3 +276,69 @@ class TestWalkerWalkVariant:
         np.testing.assert_allclose(at_margin, 0.1, rtol=1e-5)
         far = float(_tolerance(jnp.asarray(-2.0), 1.0, jnp.inf, 0.5))
         assert far < 1e-3
+
+
+class TestGymResetDistributions:
+    """gym / dm_control-parity reset randomization (the reference evaluates
+    on the gym envs, whose reset() draws initial-state noise — and, for
+    Reacher, the target — per episode; reference: run_mpc.py:36-48 env zoo
+    + gym env reset_model semantics). fixed_init / fixed_goal pin the
+    zero-noise legacy starts."""
+
+    def test_reacher_target_sampled_in_disk(self):
+        env = Reacher()
+        t1 = env.reset(jax.random.key(1)).target
+        t2 = env.reset(jax.random.key(2)).target
+        assert not np.allclose(np.asarray(t1), np.asarray(t2))
+        for k in range(12):
+            t = np.asarray(env.reset(jax.random.key(k)).target)
+            assert np.linalg.norm(t) < 0.2
+        pinned = Reacher(fixed_goal=True)
+        s = pinned.reset(jax.random.key(3))
+        np.testing.assert_allclose(np.asarray(s.target), [0.15, 0.25],
+                                   rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(s.physics.qpos), 0.0)
+
+    def test_reacher_observation_and_reward_key_on_episode_target(self):
+        env = Reacher()
+        s = env.reset(jax.random.key(4))
+        obs = np.asarray(env.observe(s))
+        np.testing.assert_allclose(obs[6:8], np.asarray(s.target))
+        # reward differs under a moved target at the same qpos
+        _, r1 = env.step(s, jnp.zeros(2))
+        s2 = s.replace(target=s.target + 0.1)
+        _, r2 = env.step(s2, jnp.zeros(2))
+        assert float(r1) != float(r2)
+
+    @pytest.mark.parametrize("make_env, scale", [
+        ("cheetah", 0.1 + 0.5),   # qpos U(0.1) (qvel N(0,0.1) unbounded)
+        ("hopper", 5e-3 + 1e-6),
+        ("walker2d", 5e-3 + 1e-6),
+        ("humanoid-standup", 0.01 + 1e-6),
+    ])
+    def test_locomotion_reset_noise_bounded_and_pinnable(self, make_env,
+                                                         scale):
+        from ppi_tpu.runners.run_mpc import ENVS
+        env = ENVS[make_env]()
+        s1 = env.reset(jax.random.key(1))
+        s2 = env.reset(jax.random.key(2))
+        assert not np.allclose(np.asarray(s1.physics.qpos),
+                               np.asarray(s2.physics.qpos))
+        pinned = type(env)(fixed_init=True)
+        p1 = pinned.reset(jax.random.key(1))
+        p2 = pinned.reset(jax.random.key(2))
+        np.testing.assert_array_equal(np.asarray(p1.physics.qpos),
+                                      np.asarray(p2.physics.qpos))
+        # the sampled start stays within the documented noise of the pin
+        assert (np.abs(np.asarray(s1.physics.qpos)
+                       - np.asarray(p1.physics.qpos)) <= scale).all()
+
+    def test_finger_spinner_angle_sampled(self):
+        from ppi_tpu.envs.finger import SPINNER, FingerSpin
+        env = FingerSpin()
+        a1 = float(env.reset(jax.random.key(1)).physics.qpos[SPINNER])
+        a2 = float(env.reset(jax.random.key(2)).physics.qpos[SPINNER])
+        assert a1 != a2 and abs(a1) <= np.pi and abs(a2) <= np.pi
+        pinned = FingerSpin(fixed_init=True)
+        assert float(pinned.reset(
+            jax.random.key(3)).physics.qpos[SPINNER]) == 0.0
