@@ -106,7 +106,7 @@ def build_canonical_agent(env_name, cfg):
 
 
 def run(env_name: str, resets: int, warmstart: int = 50, overrides=None,
-        base_key: int = 0, chunk: int = None):
+        base_key: int = 0, chunk: int = None, mesh_devices: int = 0):
     """Vmapped goal sweep; returns a JSON-serializable summary dict.
 
     ``chunk`` bounds how many episodes share one vmapped execution (the
@@ -115,7 +115,12 @@ def run(env_name: str, resets: int, warmstart: int = 50, overrides=None,
     program executes fine at vmap(5) x T=60 and vmap(1) x T=140 but
     reproducibly kills the TPU worker at vmap(5) x T=140 — an XLA:TPU
     runtime fault at that shape, not a framework numerics issue (see
-    RESULTS.md). Chunking is the workaround."""
+    RESULTS.md). Chunking is the workaround.
+
+    ``mesh_devices`` > 0 shards the EPISODE axis over a device mesh
+    instead (utils.batch.sharded_vmap): N resets in the wall time of
+    N/devices — the experiment-throughput scale-out. Mutually exclusive
+    with ``chunk``."""
     import jax
 
     cfg = dict(CONFIGS[env_name])
@@ -137,10 +142,18 @@ def run(env_name: str, resets: int, warmstart: int = 50, overrides=None,
         return (track["reward"].sum(), env.success(es_f),
                 getattr(es, field), getattr(es_f, field))
 
-    from ppi_tpu.utils.batch import chunked_vmap
+    from ppi_tpu.utils.batch import chunked_vmap, sharded_vmap
 
     keys = jax.random.split(jax.random.key(base_key), resets)
-    returns, succ, goals0, goals_f = chunked_vmap(one_episode, keys, chunk)
+    if mesh_devices:
+        # overrides any config-pinned chunk: chunking is a single-chip
+        # TPU-fault workaround, the mesh runs different per-device shapes
+        from ppi_tpu.parallel.mesh import make_mesh
+        returns, succ, goals0, goals_f = sharded_vmap(
+            one_episode, keys, make_mesh(mesh_devices))
+    else:
+        returns, succ, goals0, goals_f = chunked_vmap(one_episode, keys,
+                                                      chunk)
     goals = np.asarray(goals0)
     assert np.allclose(goals, np.asarray(goals_f)), \
         "episode goal must be constant within an episode"
@@ -185,9 +198,15 @@ def main(argv=None):
                    help="episodes per vmapped execution (workaround for "
                         "shape-specific TPU runtime faults; compile is "
                         "shared across chunks)")
+    p.add_argument("--mesh-devices", type=int, default=0,
+                   help="shard the EPISODE axis over an N-device mesh "
+                        "(N resets in the wall time of N/devices); "
+                        "overrides --chunk")
     p.add_argument("--key", type=int, default=0)
     p.add_argument("--dir", type=str, default=None)
     args = p.parse_args(argv)
+    if args.mesh_devices and args.chunk:
+        p.error("--mesh-devices and --chunk are mutually exclusive")
     overrides = {}
     if args.n_samples is not None:
         overrides["n_samples"] = args.n_samples
@@ -196,7 +215,8 @@ def main(argv=None):
     if args.horizon is not None:
         overrides["horizon"] = args.horizon
     summary = run(args.env, args.resets, warmstart=args.warmstart,
-                  overrides=overrides, base_key=args.key, chunk=args.chunk)
+                  overrides=overrides, base_key=args.key, chunk=args.chunk,
+                  mesh_devices=args.mesh_devices)
     for ep in summary["episodes"]:
         print(f"[{args.env}] reset {ep['reset']}: return "
               f"{ep['return']:.1f} success {ep['success']}")

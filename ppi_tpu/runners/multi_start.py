@@ -47,16 +47,19 @@ CONFIGS = {
 
 
 def run(env_name: str, restarts: int, warmstart: int = 50, overrides=None,
-        base_key: int = 0, env_key: int = 0, chunk: int = None):
+        base_key: int = 0, env_key: int = 0, chunk: int = None,
+        mesh_devices: int = 0):
     """K restarts of the canonical config on a fixed task; returns a
     JSON-serializable summary. ``chunk`` as in goal_success (the hand
     scenes default to chunk=1: sequential episodes sharing one compiled
-    program, dodging the vmap(K) x long-T XLA:TPU fault)."""
+    program, dodging the vmap(K) x long-T XLA:TPU fault);
+    ``mesh_devices`` > 0 shards the restart axis over a device mesh
+    instead (overrides chunk — see goal_success.run)."""
     import jax
 
     from ppi_tpu.runners.goal_success import CONFIGS as GOAL_CONFIGS
     from ppi_tpu.runners.goal_success import build_canonical_agent
-    from ppi_tpu.utils.batch import chunked_vmap
+    from ppi_tpu.utils.batch import chunked_vmap, sharded_vmap
 
     cfg = dict(CONFIGS.get(env_name) or GOAL_CONFIGS[env_name])
     cfg.update(overrides or {})
@@ -76,7 +79,12 @@ def run(env_name: str, restarts: int, warmstart: int = 50, overrides=None,
 
     keys = jax.random.split(jax.random.key(base_key), restarts)
     t0 = time.perf_counter()
-    returns, succ = chunked_vmap(one_restart, keys, chunk)
+    if mesh_devices:
+        from ppi_tpu.parallel.mesh import make_mesh
+        returns, succ = sharded_vmap(one_restart, keys,
+                                     make_mesh(mesh_devices))
+    else:
+        returns, succ = chunked_vmap(one_restart, keys, chunk)
     returns = [float(r) for r in returns]
     succ = [bool(s) for s in succ]
     first = next((i for i, s in enumerate(succ) if s), None)
@@ -103,13 +111,18 @@ def main(argv=None):
     p.add_argument("--restarts", type=int, default=5)
     p.add_argument("--warmstart", type=int, default=50)
     p.add_argument("--chunk", type=int, default=None)
+    p.add_argument("--mesh-devices", type=int, default=0,
+                   help="shard the restart axis over an N-device mesh; "
+                        "overrides --chunk")
     p.add_argument("--env-key", type=int, default=0)
     p.add_argument("--base-key", type=int, default=0)
     p.add_argument("--dir", type=str, default=None)
     args = p.parse_args(argv)
+    if args.mesh_devices and args.chunk:
+        p.error("--mesh-devices and --chunk are mutually exclusive")
     summary = run(args.env, args.restarts, warmstart=args.warmstart,
                   base_key=args.base_key, env_key=args.env_key,
-                  chunk=args.chunk)
+                  chunk=args.chunk, mesh_devices=args.mesh_devices)
     print(f"[{args.env}] success {summary['n_success']}/{args.restarts} "
           f"(first at restart {summary['first_success']}), best return "
           f"{summary['best_return']}, {summary['wall_s']} s")

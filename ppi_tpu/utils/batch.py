@@ -13,6 +13,31 @@ import jax
 import jax.numpy as jnp
 
 
+def sharded_vmap(fn, keys, mesh, axis="samples"):
+    """Run ``vmap(fn)`` with the leading key axis SHARDED over ``mesh``.
+
+    Episodes are independent, so constraining the key axis to the mesh
+    makes XLA place each shard's episodes on its own device — the
+    experiment-throughput scale-out (N resets/restarts in the wall time
+    of N/devices), complementing the per-episode sample-axis sharding of
+    ``parallel.mesh.sharded_mpc_objective``. The key batch is padded to
+    a multiple of the mesh size with a repeated key and trimmed after;
+    returns exactly what ``vmap(fn)(keys)`` would.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    n = keys.shape[0]
+    size = int(mesh.devices.size)
+    pad = (-n) % size
+    if pad:
+        keys = jnp.concatenate(
+            [keys, jnp.broadcast_to(keys[-1:], (pad,))])
+    sharding = NamedSharding(mesh, PartitionSpec(axis))
+    prog = jax.jit(jax.vmap(fn), in_shardings=sharding)
+    out = prog(jax.device_put(keys, sharding))
+    return jax.tree.map(lambda x: x[:n], out)
+
+
 def chunked_vmap(fn, keys, chunk=None):
     """Run ``vmap(fn)`` over the leading axis of ``keys`` in chunks.
 

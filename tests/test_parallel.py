@@ -441,3 +441,53 @@ class TestShardedOptimizationPaths:
                                    np.asarray(t_l["mean"]), rtol=1e-4)
         # and the sharded search still optimizes (tracking cost drops)
         assert float(t_s["mean"][-1]) < float(t_s["mean"][0])
+
+
+class TestShardedEpisodeAxis:
+    """Episode-axis mesh sharding (utils.batch.sharded_vmap): N
+    independent episodes (goal sweeps / solver restarts) ride the mesh,
+    one per-device slice each — the experiment-throughput scale-out that
+    complements the per-episode sample-axis sharding above."""
+
+    def test_sharded_vmap_matches_vmap(self):
+        from ppi_tpu.utils.batch import sharded_vmap
+
+        def ep(key):
+            x = jax.random.normal(key, (4,))
+            return jnp.sum(x ** 2), jnp.max(x)
+
+        keys = jax.random.split(jax.random.key(0), 11)  # non-multiple of 8
+        ref = jax.vmap(ep)(keys)
+        out = sharded_vmap(ep, keys, make_mesh(8))
+        for a, b in zip(ref, out):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6)
+
+    def test_goal_sweep_sharded_matches_vmapped(self):
+        """goal_success.run with mesh_devices=8 reproduces the plain
+        vmapped sweep episode-for-episode (tiny fetch-push config)."""
+        from ppi_tpu.runners import goal_success
+
+        overrides = dict(timesteps=6, horizon=4, n_samples=8)
+        ref = goal_success.run("fetch-push", resets=5, warmstart=1,
+                               overrides=overrides)
+        shd = goal_success.run("fetch-push", resets=5, warmstart=1,
+                               overrides=overrides, mesh_devices=8)
+        assert ref["success_rate"] == shd["success_rate"]
+        for e_ref, e_shd in zip(ref["episodes"], shd["episodes"]):
+            np.testing.assert_allclose(e_ref["goal"], e_shd["goal"],
+                                       rtol=1e-5)
+            np.testing.assert_allclose(e_ref["return"], e_shd["return"],
+                                       rtol=1e-3)
+
+    def test_multi_start_sharded_matches_vmapped(self):
+        from ppi_tpu.runners import multi_start
+
+        overrides = dict(timesteps=6, horizon=4, n_samples=8)
+        ref = multi_start.run("fetch-push", restarts=5, warmstart=1,
+                              overrides=overrides)
+        shd = multi_start.run("fetch-push", restarts=5, warmstart=1,
+                              overrides=overrides, mesh_devices=8)
+        np.testing.assert_allclose(ref["returns"], shd["returns"],
+                                   rtol=1e-3)
+        assert ref["n_success"] == shd["n_success"]
