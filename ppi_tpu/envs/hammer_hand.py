@@ -425,21 +425,39 @@ def scripted_hammer(env, state0=None, log=None, max_swings=22, frames=None):
     state = run(state, lift, 30)
     note(f"lifted: ham_z={float(state.physics.qpos[HAM_Z]):.3f}")
 
-    # carry: IK the palm out toward the (sampled) nail, interpolated —
-    # the hover point is the tuned nominal offset from the board
-    # (board + (-0.18, 0, +0.20) = (0.64, 0, 0.80) on the legacy scene)
+    # carry: IK the palm toward the (sampled) nail in TWO stages — first a
+    # high waypoint well above the nail top, then a vertical descent to
+    # the strike hover. The lateral leg of a single interpolation drags
+    # the hammer head THROUGH a raised nail (board z is sampled; on the
+    # key(0) board, dz = 0.14, the head knocked the hammer out of the
+    # cradle mid-carry). The hover point is the tuned nominal offset from
+    # the board (board + (-0.18, 0, +0.20) = (0.64, 0, 0.80) legacy).
+    high = _ik_palm(env, state,
+                    state.board + jnp.asarray([-0.18, 0.0, 0.32]),
+                    jnp.clip(lift, lo, hi))
+    start = jnp.clip(lift, lo, hi)
+    for alpha in np.linspace(0.0, 1.0, 18):
+        state = run(state, jnp.clip(start + float(alpha) * (high - start),
+                                    lo, hi), 6)
     carry = _ik_palm(env, state,
                      state.board + jnp.asarray([-0.18, 0.0, 0.20]),
-                     jnp.clip(lift, lo, hi))
-    start = jnp.clip(lift, lo, hi)
-    for alpha in np.linspace(0.0, 1.0, 25):
-        state = run(state, jnp.clip(start + float(alpha) * (carry - start),
+                     jnp.clip(high, lo, hi))
+    for alpha in np.linspace(0.0, 1.0, 12):
+        state = run(state, jnp.clip(high + float(alpha) * (carry - high),
                                     lo, hi), 6)
     carry_cmd = carry
     state = run(state, jnp.clip(carry_cmd, lo, hi), 30)
-    note(f"carried: nail={float(state.physics.qpos[NAIL]):.4f}")
+    note(f"carried: nail={float(state.physics.qpos[NAIL]):.4f} "
+         f"ham_z={float(state.physics.qpos[HAM_Z]):.3f}")
 
-    # arc swings until the nail seats
+    # arc swings until the nail seats; on stall the hover is re-IK'd
+    # lower by the driven depth so the arc keeps reaching the head of an
+    # already-driven nail (verified: seats the nail on the nominal board
+    # AND the near-extreme key(0) board, dz = 0.142; MID boards whose
+    # nail top sits exactly at the carry head height can still deflect
+    # the hammer — the oracle is a nominal-scene feasibility tool, the
+    # scene-DISTRIBUTION claim is MPC's, measured by runners.goal_success)
+    last_depth = -1.0
     for k in range(max_swings):
         back = carry_cmd.at[1].add(-0.18).at[2].add(0.12)
         state = run(state, jnp.clip(back, lo, hi), 22)
@@ -450,6 +468,13 @@ def scripted_hammer(env, state0=None, log=None, max_swings=22, frames=None):
         note(f"swing {k}: nail={depth:.4f}")
         if depth > 0.95 * NAIL_DEPTH:
             break
+        if depth <= last_depth + 1e-4:
+            carry_cmd = _ik_palm(
+                env, state,
+                state.board + jnp.asarray([-0.18, 0.0, 0.20 - depth]),
+                jnp.clip(carry_cmd, lo, hi))
+            note(f"swing {k}: re-hover (depth {depth:.4f})")
+        last_depth = depth
     q = state.physics.qpos
     return state, {
         "nail": float(q[NAIL]),

@@ -61,10 +61,10 @@ class TestHammerHand:
         """Feasibility oracle: cage the free handle, lift it off the
         bench, carry it to the nail and seat the nail with arc swings —
         the full grasped-tool-use mechanic end-to-end. Pinned to the
-        canonical scene: the oracle's swing arc is tuned to the nominal
-        board (on a raised board it can knock the hammer away — the
-        known absorbing failure mode); scene-DISTRIBUTION success is
-        MPC's claim, measured by runners.goal_success."""
+        canonical scene (the raised-board regime is pinned separately in
+        TestHammerHandSampledScene; MID boards can still deflect the
+        hammer — the scene-DISTRIBUTION claim is MPC's, measured by
+        runners.goal_success)."""
         env = HammerHand(engine="tensor", fixed_scene=True)
         msgs = []
         state, info = scripted_hammer(env, log=msgs.append)
@@ -150,3 +150,15 @@ class TestHammerHandSampledScene:
         i = 2 * N_ACT + 2 + 9
         np.testing.assert_allclose(o_hi[i:i + 3] - o_lo[i:i + 3],
                                    [0.0, 0.0, 0.1], atol=1e-6)
+
+    def test_scripted_oracle_on_raised_board(self):
+        """The scene-aware oracle also seats the nail on the key(0)
+        SAMPLED board (dz = 0.142, near the 0.15 span edge): the
+        two-stage high carry clears the raised nail and the stall-driven
+        re-hover deepens the arc until the nail seats. (Mid boards can
+        still deflect the hammer — the distribution claim is MPC's.)"""
+        env = HammerHand(engine="tensor")
+        s0 = env.reset(jax.random.key(0))
+        assert float(s0.board[2]) > 0.73  # the raised-board regime
+        state, info = scripted_hammer(env, state0=s0)
+        assert info["success"], info
