@@ -209,7 +209,7 @@ def main(args):
     results = grid(args.env, args.seeds, args.timesteps, args.horizon,
                    args.n_samples, outdir)
     rows = summarize(results)
-    (outdir / "summary.json").write_text(json.dumps(rows, indent=2))
+    (outdir / "summary.json").write_text(json.dumps(rows, indent=2) + "\n")
     plot_overlay(results, rows, outdir / "overlay.png")
     print(f"\n{'config':8s} {'return':>16s} {'smoothness':>14s}"
           f" {'success':>8s}")

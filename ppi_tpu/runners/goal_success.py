@@ -89,6 +89,12 @@ def build_canonical_agent(env_name, cfg):
     ls = cfg.get("lengthscale", 1.0)
     if ls == "4dt":
         ls = 4 * env.dt
+        # record the RESOLVED numeric value in the config dict (which the
+        # goal-sweep artifacts serialize verbatim) alongside the sentinel,
+        # so the actual hyperparameter is recoverable from the artifact
+        # alone (ADVICE r3)
+        cfg["lengthscale_spec"] = "4dt"
+        cfg["lengthscale"] = ls
     fam, pol = make_policy(
         cfg["policy"], env.dt * jnp.arange(cfg["horizon"]), env.action_dim,
         *design_moments(env.action_low, env.action_high, ratio=1000.0),
@@ -226,7 +232,7 @@ def main(argv=None):
         out = Path(args.dir)
         out.mkdir(parents=True, exist_ok=True)
         path = out / f"{args.env}_goals.json"
-        path.write_text(json.dumps(summary, indent=1))
+        path.write_text(json.dumps(summary, indent=1) + "\n")
         print(f"wrote {path}")
     return summary
 

@@ -130,7 +130,7 @@ def main(argv=None):
         out = pathlib.Path(args.dir)
         out.mkdir(parents=True, exist_ok=True)
         path = out / f"{args.env}_restarts.json"
-        path.write_text(json.dumps(summary, indent=1))
+        path.write_text(json.dumps(summary, indent=1) + "\n")
         print(f"wrote {path}")
     return summary
 

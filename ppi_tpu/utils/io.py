@@ -41,7 +41,7 @@ def write_args(args, path: Path):
         payload = dict(args)
     payload = {k: (v if isinstance(v, (int, float, str, bool, type(None)))
                    else str(v)) for k, v in payload.items()}
-    (Path(path) / "args.json").write_text(json.dumps(payload, indent=2))
+    (Path(path) / "args.json").write_text(json.dumps(payload, indent=2) + "\n")
 
 
 def save_results(path, **arrays):
