@@ -49,6 +49,43 @@ def digit_spheres(b, mcp, pip, link1=0.05, link2=0.045,
     return prox, tip
 
 
+def add_digit3(b, parent, mount, abd_axis, curl_axis, abd_limits,
+               mcp_limits, pip_limits, link1=0.05, link2=0.045,
+               mass1=0.08, mass2=0.05, com1=0.025, com2=0.02,
+               direction=(1.0, 0.0, 0.0), damping_abd=0.35,
+               damping1=0.25, damping2=0.2, armature_abd=0.02,
+               armature1=0.02, armature2=0.015, limit_k=20.0):
+    """Three-hinge Adroit-class digit: ABD (splay) + MCP + PIP.
+
+    The abduction hinge is a near-massless proxy body at ``mount``
+    rotating about ``abd_axis`` (perpendicular to the curl plane); the
+    MCP and PIP links ride it exactly as in ``add_digit``. This is the
+    per-digit unit of the five-finger embodiments (door-v0-adroit /
+    relocate-v0-adroit), matching the reference Adroit hand's knuckle
+    structure (mj_envs submodule; reference: run_mpc.py:41-42) where each
+    finger carries an abduction joint ahead of the flexion chain.
+    Returns (abd_body, mcp_body, pip_body).
+    """
+    d = np.asarray(direction, np.float64)
+    abd = b.add_body(parent=parent, joint_type=_hinge(), axis=abd_axis,
+                     offset_pos=tuple(mount), mass=0.01,
+                     com=(0.0, 0.0, 0.0),
+                     inertia=np.diag([5e-6, 5e-6, 5e-6]),
+                     damping=damping_abd, armature=armature_abd,
+                     q_limit=abd_limits, limit_k=limit_k)
+    mcp = b.add_body(parent=abd, joint_type=_hinge(), axis=curl_axis,
+                     offset_pos=(0.0, 0.0, 0.0), mass=mass1,
+                     com=tuple(com1 * d),
+                     inertia=np.diag([3e-5, 3e-5, 3e-5]), damping=damping1,
+                     armature=armature1, q_limit=mcp_limits, limit_k=limit_k)
+    pip = b.add_body(parent=mcp, joint_type=_hinge(), axis=curl_axis,
+                     offset_pos=tuple(link1 * d), mass=mass2,
+                     com=tuple(com2 * d),
+                     inertia=np.diag([2e-5, 2e-5, 2e-5]), damping=damping2,
+                     armature=armature2, q_limit=pip_limits, limit_k=limit_k)
+    return abd, mcp, pip
+
+
 def _hinge():
     from ppi_tpu.envs.physics.engine import HINGE
     return HINGE

@@ -475,16 +475,17 @@ def make_single_step_soa(model: ArticulatedModel, dt: float,
     ``dyn_body=b`` makes body ``b``'s joint-origin offset a per-episode
     RUNTIME input: the returned step takes a trailing ``body_pos (3,)``
     argument (mj_envs randomizes scene body placements per reset — door
-    frame, nail board). Scalar path only (the envs that sample scene
-    geometry are pinned scalar)."""
-    if dyn_body is not None:
-        stacked = False
+    frame, nail board). Supported on both paths; with ``stacked=None``
+    a dyn_body scene keeps the certified scalar pipeline unless its DoF
+    count makes scalar compiles infeasible (nq >= 16: the Adroit-class
+    hands)."""
     if stacked is None:
-        stacked = model.nq >= 10
+        stacked = model.nq >= (16 if dyn_body is not None else 10)
     if stacked:
         from ppi_tpu.envs.physics.engine_stacked import (
             make_single_step_stacked)
-        return make_single_step_stacked(model, dt, substeps)
+        return make_single_step_stacked(model, dt, substeps,
+                                        dyn_body=dyn_body)
     m = SoaModel(model)
     h = dt / substeps
     nq = m.nq

@@ -217,17 +217,30 @@ def forward_dynamics_stacked(m: SoaModel, c: _StackedConsts, q, qd, tau):
 
 
 def make_single_step_stacked(model: ArticulatedModel, dt: float,
-                             substeps: int = 1):
+                             substeps: int = 1, dyn_body=None):
     """Drop-in for engine_soa.make_single_step_soa: (qpos (nq,), qvel
     (nq,), tau (nq,)) -> (qpos, qvel), semi-implicit Euler + exact
-    velocity-level stiction, substeps under lax.scan."""
-    m = SoaModel(model)
-    c = _StackedConsts(m)
+    velocity-level stiction, substeps under lax.scan.
+
+    With ``dyn_body`` the returned step takes a trailing ``(3,)``
+    joint-origin override for that body (the sampled scene placement —
+    door frame / nail board), mirroring the scalar-SoA contract: the
+    traced offset rides ``SoaModel.with_body_offset`` so FK, Jacobians
+    and contacts all see the episode's scene."""
+    m0 = SoaModel(model)
+    c = _StackedConsts(m0)
     h = dt / substeps
     fl = jnp.asarray(c.friction_loss)
     has_friction = bool(np.any(c.friction_loss > 0.0))
 
-    def one(qpos, qvel, tau):
+    def one(qpos, qvel, tau, body_pos=None):
+        m = m0
+        if dyn_body is not None:
+            assert body_pos is not None, \
+                "this model was built with dyn_body: pass its position"
+            m = m0.with_body_offset(
+                dyn_body, (body_pos[0], body_pos[1], body_pos[2]))
+
         def sub(carry, _):
             q, qd = carry
             qdd, mdiag = forward_dynamics_stacked(m, c, q, qd, tau)

@@ -1,0 +1,337 @@
+"""Pick-and-carry with a FIVE-digit, 21-actuated-DoF Adroit-class hand.
+
+The reference's relocate-v0 grasps and carries the ball with the 30-DoF
+Adroit hand (reference: run_mpc.py:41 + the mj_envs submodule). The
+round-2/3 ``envs.relocate_hand`` used a three-digit 10-DoF hand; this
+module closes the remaining embodiment gap (VERDICT r3 next #1): the same
+4-DoF arm gains a 2-DoF wrist (pronation + deviation) and carries FIVE
+down-pointing digits — four fingers on the +y side spanning the ball,
+an opposing thumb on the -y side — each with an abduction joint ahead of
+the MCP/PIP flexion chain (``envs.hand.add_digit3``). 21 actuated DoF,
+24 total with the free ball, on the stacked-assembly dynamics path.
+
+Ball model, sampled goal/start distributions, reward shape and success
+criterion are shared with ``envs.relocate`` / ``envs.relocate_hand`` so
+gripper vs 3-digit vs Adroit-class results are directly comparable.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ppi_tpu.envs.hand import add_digit3
+from ppi_tpu.envs.physics import ModelBuilder, PhysicsState
+from ppi_tpu.envs.physics.engine import HINGE, SLIDE
+from ppi_tpu.envs.relocate import (
+    BALL_RADIUS,
+    BALL_START,
+    GOAL_X,
+    GOAL_Y,
+    GOAL_Z,
+    START_RANGE,
+    TABLE_Z,
+    TARGET,
+)
+
+# dof order: arm, wrist, 5 x (ABD, MCP, PIP), then ball x/y/z slides
+(YAW, SHOULDER, ELBOW, WRIST, PRON, DEV,
+ FF_ABD, FF_MCP, FF_PIP,
+ MF_ABD, MF_MCP, MF_PIP,
+ RF_ABD, RF_MCP, RF_PIP,
+ LF_ABD, LF_MCP, LF_PIP,
+ TH_ABD, TH_MCP, TH_PIP,
+ BALL_X, BALL_Y, BALL_Z) = range(24)
+
+N_ACT = 21
+L1, L2 = 0.055, 0.05
+
+# +y-side fingers curl toward -y (negative mcp), thumb opposes; ABD splays
+# the down-pointing digit along x (rotation about y)
+_FING = dict(abd=(-0.25, 0.25), mcp=(-1.2, 0.6), pip=(-1.4, 0.0))
+_THUMB = dict(abd=(-0.35, 0.35), mcp=(-0.6, 1.2), pip=(0.0, 1.4))
+
+_LOW = ((-1.5, -1.2, -2.0, -2.0, -1.0, -0.6)
+        + (_FING["abd"][0], _FING["mcp"][0], _FING["pip"][0]) * 4
+        + (_THUMB["abd"][0], _THUMB["mcp"][0], _THUMB["pip"][0]))
+_HIGH = ((1.5, 1.2, 2.0, 2.0, 1.0, 0.6)
+         + (_FING["abd"][1], _FING["mcp"][1], _FING["pip"][1]) * 4
+         + (_THUMB["abd"][1], _THUMB["mcp"][1], _THUMB["pip"][1]))
+
+# finger knuckle x-positions on the palm (+y side); thumb centred opposite
+_FINGER_X = (0.285, 0.235, 0.185, 0.135)
+_THUMB_X = 0.21
+
+
+def _build_model():
+    b = ModelBuilder()
+    # --- arm (identical to envs.relocate / relocate_hand) ---
+    b.add_body(parent=-1, joint_type=HINGE, axis=(0, 0, 1),
+               offset_pos=(0, 0, TABLE_Z + 0.35), mass=2.0, damping=2.0,
+               armature=0.1, q_limit=(-1.5, 1.5), limit_k=50.0)
+    b.add_body(parent=YAW, joint_type=HINGE, axis=(0, 1, 0),
+               offset_pos=(0, 0, 0), mass=2.0, com=(0.17, 0, 0),
+               damping=2.0, armature=0.1, q_limit=(-1.2, 1.2), limit_k=50.0)
+    b.add_body(parent=SHOULDER, joint_type=HINGE, axis=(0, 1, 0),
+               offset_pos=(0.35, 0, 0), mass=1.5, com=(0.17, 0, 0),
+               damping=1.5, armature=0.08, q_limit=(-2.0, 2.0), limit_k=50.0)
+    b.add_body(parent=ELBOW, joint_type=HINGE, axis=(0, 1, 0),
+               offset_pos=(0.35, 0, 0), mass=0.6, com=(0.06, 0, 0),
+               damping=1.0, armature=0.05, q_limit=(-2.0, 2.0), limit_k=50.0)
+    # --- 2-DoF wrist: pronation about the forearm axis + deviation about
+    # the vertical; the deviation body is the palm plate ---
+    b.add_body(parent=WRIST, joint_type=HINGE, axis=(1, 0, 0),
+               offset_pos=(0.06, 0, 0), mass=0.05,
+               inertia=np.diag([2e-5, 2e-5, 2e-5]), damping=0.5,
+               armature=0.02, q_limit=(_LOW[PRON], _HIGH[PRON]),
+               limit_k=30.0)
+    b.add_body(parent=PRON, joint_type=HINGE, axis=(0, 0, 1),
+               offset_pos=(0.02, 0, 0), mass=0.30, com=(0.12, 0, 0),
+               inertia=np.diag([4e-4, 4e-4, 4e-4]), damping=0.5,
+               armature=0.02, q_limit=(_LOW[DEV], _HIGH[DEV]), limit_k=30.0)
+    # --- five down-pointing digits on the palm plate ---
+    down = (0.0, 0.0, -1.0)
+    cfg = dict(abd_axis=(0, 1, 0), curl_axis=(1, 0, 0), link1=L1, link2=L2,
+               direction=down, damping1=0.3, damping2=0.25, limit_k=30.0)
+    for x in _FINGER_X:
+        add_digit3(b, DEV, (x, 0.065, 0.0), abd_limits=_FING["abd"],
+                   mcp_limits=_FING["mcp"], pip_limits=_FING["pip"], **cfg)
+    add_digit3(b, DEV, (_THUMB_X, -0.065, 0.0), abd_limits=_THUMB["abd"],
+               mcp_limits=_THUMB["mcp"], pip_limits=_THUMB["pip"], **cfg)
+    # --- free ball: 3-slide chain (identical to envs.relocate) ---
+    bx = b.add_body(parent=-1, joint_type=SLIDE, axis=(1, 0, 0),
+                    offset_pos=(BALL_START[0], BALL_START[1],
+                                TABLE_Z + BALL_RADIUS),
+                    mass=1e-3, armature=1e-4, damping=0.0)
+    by = b.add_body(parent=bx, joint_type=SLIDE, axis=(0, 1, 0),
+                    offset_pos=(0, 0, 0), mass=1e-3, armature=1e-4,
+                    damping=0.0)
+    b.add_body(parent=by, joint_type=SLIDE, axis=(0, 0, 1),
+               offset_pos=(0, 0, 0), mass=0.10,
+               inertia=np.diag([5e-4, 5e-4, 5e-4]), armature=1e-4,
+               damping=0.05)
+
+    palm = b.add_sphere(DEV, (0.21, 0.0, 0.0), 0.03)
+    tip_geoms = []
+    for mcp, pip in ((FF_MCP, FF_PIP), (MF_MCP, MF_PIP), (RF_MCP, RF_PIP),
+                     (LF_MCP, LF_PIP), (TH_MCP, TH_PIP)):
+        prox = b.add_sphere(mcp, tuple(L1 * 0.6 * np.asarray(down)), 0.016)
+        tip = b.add_sphere(pip, tuple(L2 * np.asarray(down)), 0.016)
+        tip_geoms += [prox, tip]
+    ball = b.add_sphere(BALL_Z, (0.0, 0.0, 0.0), BALL_RADIUS)
+    table = b.add_plane(normal=(0.0, 0.0, 1.0), offset=TABLE_Z)
+
+    b.add_contact_sphere_sphere(ball, palm)
+    for g in tip_geoms:
+        b.add_contact_sphere_sphere(ball, g)
+        b.add_contact_sphere_plane(g, table)
+    b.add_contact_sphere_plane(ball, table)
+    b.add_contact_sphere_plane(palm, table)
+    # same contact material as envs.relocate / relocate_hand
+    b.contact_stiffness = 2e3
+    b.contact_damping = 8.0
+    b.friction_mu = 1.2
+    b.friction_vel_k = 30.0
+    return b.finalize(), palm, tuple(tip_geoms), ball
+
+
+class RelocateAdroitState(struct.PyTreeNode):
+    physics: PhysicsState
+    target: jax.Array
+    t: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class RelocateAdroit:
+    """relocate-v0-class task on the five-digit Adroit-class hand; actions
+    are PD position targets for the 4 arm + 2 wrist + 15 digit joints."""
+
+    action_dim: int = N_ACT
+    dt: float = 0.02
+    substeps: int = 8
+    kp: float = 60.0
+    kd: float = 6.0
+    kp_wrist: float = 15.0
+    kd_wrist: float = 1.2
+    kp_digit: float = 4.0
+    kd_digit: float = 0.35
+    kp_thumb: float = 8.0   # the thumb opposes four fingers: double gains
+    kd_thumb: float = 0.7   # keep the pinch balanced (relocate_hand note)
+    kp_abd: float = 3.0
+    kd_abd: float = 0.3
+    fixed_goal: bool = False
+    engine: str = "stacked"  # 24-DoF scene: stacked-assembly only;
+    #                          "tensor" is the fast-compile CPU test engine
+
+    name = "relocate-v0-adroit"
+
+    def __post_init__(self):
+        from ppi_tpu.envs.physics.engine_soa import (
+            make_single_step_soa, make_sites_soa)
+        model, palm, tips, ball = _build_model()
+        object.__setattr__(self, "_model", model)
+        object.__setattr__(self, "_palm_geom", palm)
+        object.__setattr__(self, "_tip_geoms", tips)
+        object.__setattr__(self, "_ball_geom", ball)
+        if self.engine == "stacked":
+            step = make_single_step_soa(model, self.dt, self.substeps,
+                                        stacked=True)
+        else:
+            from ppi_tpu.envs.physics import engine as _te
+
+            def step(q, qd, tau):
+                s = _te.step(model, PhysicsState(qpos=q, qvel=qd), tau,
+                             self.dt, self.substeps)
+                return s.qpos, s.qvel
+        object.__setattr__(self, "_step_soa", step)
+        object.__setattr__(self, "_sites_soa", make_sites_soa(model))
+
+    @property
+    def action_low(self):
+        return jnp.array(_LOW)
+
+    @property
+    def action_high(self):
+        return jnp.array(_HIGH)
+
+    @property
+    def target(self):
+        return jnp.asarray(TARGET)
+
+    def sample_goal(self, key):
+        """Same distribution as envs.relocate."""
+        if self.fixed_goal:
+            return jnp.asarray(TARGET)
+        lo = jnp.array([GOAL_X[0], GOAL_Y[0], GOAL_Z[0]])
+        hi = jnp.array([GOAL_X[1], GOAL_Y[1], GOAL_Z[1]])
+        return jax.random.uniform(key, (3,), minval=lo, maxval=hi)
+
+    def sample_start(self, key):
+        """Per-episode ball-start xy offset (envs.relocate.START_RANGE)."""
+        if self.fixed_goal:
+            return jnp.zeros(2)
+        return jax.random.uniform(key, (2,), minval=-START_RANGE,
+                                  maxval=START_RANGE)
+
+    # reset arm posture: palm hovering the splayed hand over the nominal
+    # ball start (same wrist-level hover family as relocate_hand)
+    _reset_arm = (0.0, -0.346, 1.83, -1.484, 0.0, 0.0)
+    _reset_digits = (0.0, 0.5, 0.0) * 4 + (0.0, -0.5, 0.0)
+
+    def reset(self, key):
+        k_goal, k_start = jax.random.split(key)
+        start = self.sample_start(k_start)
+        qpos = (jnp.zeros(24)
+                .at[:N_ACT].set(jnp.array(self._reset_arm
+                                          + self._reset_digits))
+                .at[BALL_X].set(start[0]).at[BALL_Y].set(start[1]))
+        return RelocateAdroitState(
+            physics=PhysicsState(qpos=qpos, qvel=jnp.zeros(24)),
+            target=self.sample_goal(k_goal),
+            t=jnp.zeros((), jnp.int32))
+
+    def _gains(self):
+        digit = ([self.kp_abd, self.kp_digit, self.kp_digit] * 4
+                 + [self.kp_abd, self.kp_thumb, self.kp_thumb])
+        digit_d = ([self.kd_abd, self.kd_digit, self.kd_digit] * 4
+                   + [self.kd_abd, self.kd_thumb, self.kd_thumb])
+        kp = jnp.array([self.kp] * 4 + [self.kp_wrist] * 2 + digit)
+        kd = jnp.array([self.kd] * 4 + [self.kd_wrist] * 2 + digit_d)
+        return kp, kd
+
+    def _sites(self, qpos):
+        pts = self._sites_soa(qpos)
+        palm = pts[self._palm_geom]
+        tips = sum(pts[g] for g in self._tip_geoms) / len(self._tip_geoms)
+        grasp = 0.5 * (tips + palm)
+        ball = pts[self._ball_geom]
+        return palm, grasp, ball
+
+    def step(self, state, action):
+        target = jnp.clip(action, self.action_low, self.action_high)
+        q, qd = state.physics.qpos, state.physics.qvel
+        kp, kd = self._gains()
+        tau = jnp.zeros(24).at[:N_ACT].set(
+            kp * (target - q[:N_ACT]) - kd * qd[:N_ACT])
+        qpos, qvel = self._step_soa(q, qd, tau)
+        phys = PhysicsState(qpos=qpos, qvel=qvel)
+
+        _, grasp, ball = self._sites(qpos)
+        tgt = state.target
+        reach = jnp.linalg.norm(grasp - ball)
+        carry = jnp.linalg.norm(ball - tgt)
+        lifted = ball[2] > TABLE_Z + BALL_RADIUS + 0.015
+        # identical reward shape to envs.relocate (mj_envs relocate-v0)
+        reward = (-0.1 * reach
+                  + lifted * (1.0 - 0.5 * jnp.linalg.norm(grasp - tgt)
+                              - 0.5 * carry)
+                  - 1e-4 * jnp.sum(qvel[:N_ACT] ** 2)
+                  + 10.0 * (carry < 0.1)
+                  + 20.0 * (carry < 0.05))
+        return state.replace(physics=phys, t=state.t + 1), reward
+
+    def observe(self, state):
+        q, qd = state.physics.qpos, state.physics.qvel
+        palm, grasp, ball = self._sites(q)
+        tgt = state.target
+        return jnp.concatenate([
+            q[:N_ACT], qd[:N_ACT], palm, grasp, ball,
+            grasp - ball, ball - tgt, grasp - tgt])
+
+    def success(self, state):
+        _, _, ball = self._sites(state.physics.qpos)
+        return jnp.linalg.norm(ball - state.target) < 0.1
+
+
+# ---------------------------------------------------------------------------
+# scripted expert (feasibility oracle + render demo)
+# ---------------------------------------------------------------------------
+
+# gentle basket curl (relocate_hand note: MCP-dominant swing cradles the
+# ball under its lower hemisphere; deep PIP wrap ejects it)
+GRIP_FINGER = (0.0, -0.45, -0.05)
+GRIP_THUMB = (0.0, 0.45, 0.05)
+
+CARRY_POSES = ((0.0, -0.45, 1.82, -1.40),
+               (0.07, -0.60, 1.85, -1.28),
+               (0.15, -0.75, 1.88, -1.15),
+               (0.22, -0.87, 1.91, -1.05),
+               (0.291, -1.20, 1.80, -0.75))
+
+
+def scripted_carry(env, state0=None, frames=None):
+    """Hand-scripted grasp-and-carry to the legacy fixed goal: curl the
+    five digits into a basket under the ball, then walk the arm through
+    the carry waypoints (the relocate_hand oracle on the bigger hand).
+    Use ``fixed_goal=True`` — the waypoints end at the legacy TARGET."""
+    state = env.reset(jax.random.key(0)) if state0 is None else state0
+    hold = state.physics.qpos[:N_ACT]
+    grip = hold.at[6:].set(jnp.array(GRIP_FINGER * 4 + GRIP_THUMB))
+
+    def seg(s, tgt, n):
+        def body(st, _):
+            st, _ = env.step(st, tgt)
+            return st, st.physics.qpos
+        return jax.lax.scan(body, s, None, length=n)
+
+    seg = jax.jit(seg, static_argnums=2)
+
+    def run(s, tgt, n):
+        s, qh = seg(s, tgt, n)
+        if frames is not None:
+            frames.append(np.asarray(qh))
+        return s
+
+    state = run(state, grip, 60)
+    _, _, ball_grip = env._sites(state.physics.qpos)
+    for p in CARRY_POSES:
+        state = run(state, jnp.concatenate([jnp.array(p), grip[4:]]), 40)
+    _, _, ball = env._sites(state.physics.qpos)
+    return state, {
+        "ball_after_grip": ball_grip,
+        "ball": ball,
+        "dist": float(jnp.linalg.norm(ball - state.target)),
+        "success": bool(env.success(state)),
+    }

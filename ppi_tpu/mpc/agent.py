@@ -66,14 +66,17 @@ class Mpc:
     mesh_axis: Any = "samples"  # mesh axis name, or a tuple for hierarchical
                               # multi-slice sharding (("slices", "samples"))
     use_pallas: bool = False  # whole-rollout Pallas megakernel (TPU; the env
-                              # must implement the scalar-SoA contract)
+                              # must implement the scalar-SoA contract).
+                              # Composes with mesh: each device runs the
+                              # megakernel on its shard (shard_map)
 
-    def __post_init__(self):
-        if self.mesh is not None and self.use_pallas:
-            raise ValueError(
-                "Mpc: mesh and use_pallas are mutually exclusive rollout "
-                "backends (the mesh branch would silently win). Pick one; "
-                "sharded Pallas rollouts are not implemented.")
+    def _mesh_shards(self) -> int:
+        axes = ((self.mesh_axis,) if isinstance(self.mesh_axis, str)
+                else tuple(self.mesh_axis))
+        n = 1
+        for a in axes:
+            n *= self.mesh.shape[a]
+        return n
 
     @property
     def dt(self) -> float:
@@ -104,7 +107,16 @@ class Mpc:
         # Base.reset runs at every solver call; reference: algorithms.py:80,
         # 109-115)
         policy = self.solver.reset(self.family, policy)
-        if self.mesh is not None:
+        if self.mesh is not None and self.use_pallas:
+            from ppi_tpu.envs.physics.pallas_rollout import (
+                sharded_pallas_mpc_objective)
+            f = sharded_pallas_mpc_objective(
+                self.env, env_state, self.horizon, self.mesh,
+                self.horizon_mask(time_index),
+                block=_pick_block(max(1, self.n_samples
+                                      // self._mesh_shards())),
+                axis=self.mesh_axis)
+        elif self.mesh is not None:
             from ppi_tpu.parallel import sharded_mpc_objective
             f = sharded_mpc_objective(self.env, env_state, self.mesh,
                                       self.horizon_mask(time_index),

@@ -26,6 +26,7 @@ from ppi_tpu.algorithms import ALGORITHMS, make_solver
 from ppi_tpu.envs.classic import Cartpole, Pendulum
 from ppi_tpu.envs.cheetah import Cheetah
 from ppi_tpu.envs.door import Door
+from ppi_tpu.envs.door_adroit import DoorAdroit
 from ppi_tpu.envs.door_hand import DoorHand
 from ppi_tpu.envs.finger import FingerSpin
 from ppi_tpu.envs.hammer import Hammer
@@ -36,6 +37,7 @@ from ppi_tpu.envs.pen_hand import PenHand
 from ppi_tpu.envs.fetch_pick import FetchPickAndPlace
 from ppi_tpu.envs.push import FetchPush
 from ppi_tpu.envs.relocate import Relocate
+from ppi_tpu.envs.relocate_adroit import RelocateAdroit
 from ppi_tpu.envs.relocate_hand import RelocateHand
 from ppi_tpu.envs.standup import HumanoidStandup
 from ppi_tpu.envs.walker import Walker, WalkerWalk
@@ -51,6 +53,7 @@ ENVS = {
     "reacher": Reacher,
     "door-v0": Door,
     "door-v0-hand": DoorHand,
+    "door-v0-adroit": DoorAdroit,
     "cheetah": Cheetah,
     "finger~spin": FingerSpin,
     "hammer-v0": Hammer,
@@ -60,6 +63,7 @@ ENVS = {
     "pen-v0-hand": PenHand,
     "relocate-v0": Relocate,
     "relocate-v0-hand": RelocateHand,
+    "relocate-v0-adroit": RelocateAdroit,
     "humanoid-standup": HumanoidStandup,
     "fetch-push": FetchPush,
     "fetch-pick": FetchPickAndPlace,

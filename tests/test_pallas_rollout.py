@@ -324,3 +324,89 @@ class TestDynamicsConsts:
                                   block=128, interpret=INTERPRET)
         d = np.abs(np.asarray(f0(None, acts)) - np.asarray(f1(None, acts)))
         assert d.max() > 1e-4
+
+
+class TestShardedPallas:
+    """Megakernel x mesh composition (VERDICT r3 next #3): each device runs
+    the whole-rollout kernel on its shard of the sample axis under
+    shard_map; certified sharded==unsharded on the 8-virtual-device CPU
+    mesh, the same standard as TestShardedTemperatureSearch."""
+
+    @pytest.fixture(scope="class")
+    def mesh8(self):
+        if jax.device_count() < 8:
+            pytest.skip("needs the 8-virtual-device mesh")
+        from ppi_tpu.parallel.mesh import make_mesh
+        return make_mesh(8)
+
+    def test_sharded_matches_unsharded(self, door, mesh8):
+        from ppi_tpu.envs.physics.pallas_rollout import (
+            sharded_pallas_mpc_objective)
+        h, n = 3, 16
+        s0 = door.reset(jax.random.key(0))
+        acts = s0.physics.qpos[:door.action_dim][None, None, :] \
+            + 0.3 * jax.random.normal(jax.random.key(5),
+                                      (n, h, door.action_dim))
+        f0 = pallas_mpc_objective(door, s0, h, block=128,
+                                  interpret=INTERPRET)
+        f1 = sharded_pallas_mpc_objective(door, s0, h, mesh8, block=128,
+                                          interpret=INTERPRET)
+        np.testing.assert_allclose(np.asarray(f1(None, acts)),
+                                   np.asarray(f0(None, acts)),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_sharded_matches_scan_oracle_with_mask(self, door, mesh8):
+        from ppi_tpu.envs.physics.pallas_rollout import (
+            sharded_pallas_mpc_objective)
+        h, n = 4, 8
+        s0 = door.reset(jax.random.key(0))
+        acts = s0.physics.qpos[:door.action_dim][None, None, :] \
+            + 0.3 * jax.random.normal(jax.random.key(6),
+                                      (n, h, door.action_dim))
+        mask = jnp.array([1.0, 1.0, 0.0, 0.0])
+        _, rew = batch_rollout(door, s0, acts)
+        f = sharded_pallas_mpc_objective(door, s0, h, mesh8,
+                                         horizon_mask=mask, block=128,
+                                         interpret=INTERPRET)
+        np.testing.assert_allclose(
+            np.asarray(f(None, acts)),
+            -(np.asarray(rew) * np.asarray(mask)[None, :]).sum(1),
+            rtol=1e-5, atol=1e-5)
+
+    def test_uneven_shard_raises(self, door, mesh8):
+        from ppi_tpu.envs.physics.pallas_rollout import (
+            sharded_pallas_mpc_objective)
+        s0 = door.reset(jax.random.key(0))
+        f = sharded_pallas_mpc_objective(door, s0, 3, mesh8, block=128,
+                                         interpret=INTERPRET)
+        with pytest.raises(ValueError, match="divide"):
+            f(None, jnp.zeros((12, 3, door.action_dim)))
+
+    def test_mpc_agent_mesh_plus_pallas(self, mesh8):
+        """Mpc accepts mesh AND use_pallas; the control step matches the
+        pallas-only agent (same key stream, deterministic objective)."""
+        from ppi_tpu.algorithms import make_solver
+        from ppi_tpu.mpc.agent import Mpc
+        from ppi_tpu.policies import design_moments, make_policy
+
+        env = Door()
+        horizon = 3
+        mean, ci, co = design_moments(env.action_low, env.action_high,
+                                      ratio=1000.0)
+        family, policy = make_policy(
+            "WhiteNoiseIid", env.dt * jnp.arange(horizon), env.action_dim,
+            mean, ci, co, lower=env.action_low, upper=env.action_high)
+        kw = dict(env=env, solver=make_solver("Mppi", alpha=5.0),
+                  family=family, timesteps=6, horizon=horizon, n_samples=16)
+        agent_m = Mpc(mesh=mesh8, use_pallas=True, **kw)
+        agent_p = Mpc(use_pallas=True, **kw)
+        s0 = env.reset(jax.random.key(0))
+        carry = agent_m.init(policy, jax.random.key(0))
+        # interpret-mode pallas (auto on CPU) is slow inside jit: unjitted
+        c_m, _, costs_m = agent_m.optimize(carry, s0, 0, n_iters=1)
+        c_p, _, costs_p = agent_p.optimize(carry, s0, 0, n_iters=1)
+        np.testing.assert_allclose(np.asarray(costs_m), np.asarray(costs_p),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(agent_m.action(c_m)), np.asarray(agent_p.action(c_p)),
+            rtol=1e-5, atol=1e-5)
