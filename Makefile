@@ -9,6 +9,11 @@ PY ?= python
 test:
 	$(PY) -m pytest tests/ -x -q
 
+# includes the multi-minute opt-in tier (scripted-oracle e2e, engine
+# cross-validation at high DoF)
+test-all:
+	$(PY) -m pytest tests/ -x -q -m "slow or not slow"
+
 bench:
 	$(PY) bench.py
 
@@ -73,7 +78,8 @@ corl:
 goals:
 	for e in pen-v0 pen-v0-hand relocate-v0 relocate-v0-hand \
 	    fetch-push fetch-pick door-v0 hammer-v0 \
-	    door-v0-hand hammer-v0-hand; do \
+	    door-v0-hand hammer-v0-hand \
+	    door-v0-adroit relocate-v0-adroit; do \
 	    $(PY) -m ppi_tpu.runners.goal_success --env $$e --resets 10 \
 	        --dir results/goals || exit 1; done
 

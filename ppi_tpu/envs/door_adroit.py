@@ -385,7 +385,9 @@ def scripted_open(env, state0=None, log=None, frames=None):
         jnp.array([0.0, 0.3, -0.6, 0.3, 0.0, 0.0]), _CURL_CLEAR])
     state, _ = servo(state, neutral, rounds=2, n=60)
     note(f"withdrawn: door={float(state.physics.qpos[DOOR]):.3f}")
-    for _ in range(6):
+    # ~0.04-0.05 rad per sweep pass through the reach annulus: 14 passes
+    # cover ajar (~0.95) -> open (>1.45) with margin
+    for _ in range(14):
         a = float(state.physics.qpos[DOOR])
         if a > 1.45:
             break

@@ -53,10 +53,18 @@ L1, L2 = 0.055, 0.05
 _FING = dict(abd=(-0.25, 0.25), mcp=(-1.2, 0.6), pip=(-1.4, 0.0))
 _THUMB = dict(abd=(-0.35, 0.35), mcp=(-0.6, 1.2), pip=(0.0, 1.4))
 
-_LOW = ((-1.5, -1.2, -2.0, -2.0, -1.0, -0.6)
+# elbow range ±2.4: the level-palm workspace must cover both the grasp
+# cap (palm at x=0.58, z=0.72 — needs 2.03 rad of elbow fold; the ±2.0
+# of envs.relocate binds exactly there and leaves the palm 6 mm
+# off-centre, which steadily squirts the ball -x during the grip) and
+# the carry ceiling (palm at z=0.94 over the 0.88-high goal — needs
+# 2.3 rad). The reference mounts the Adroit hand on a free-floating
+# translation base (mj_envs relocate-v0 ARTx/y/z), so the arm's joint
+# ranges are this embodiment's design choice.
+_LOW = ((-1.5, -1.2, -2.4, -2.0, -1.0, -0.6)
         + (_FING["abd"][0], _FING["mcp"][0], _FING["pip"][0]) * 4
         + (_THUMB["abd"][0], _THUMB["mcp"][0], _THUMB["pip"][0]))
-_HIGH = ((1.5, 1.2, 2.0, 2.0, 1.0, 0.6)
+_HIGH = ((1.5, 1.2, 2.4, 2.0, 1.0, 0.6)
          + (_FING["abd"][1], _FING["mcp"][1], _FING["pip"][1]) * 4
          + (_THUMB["abd"][1], _THUMB["mcp"][1], _THUMB["pip"][1]))
 
@@ -76,7 +84,7 @@ def _build_model():
                damping=2.0, armature=0.1, q_limit=(-1.2, 1.2), limit_k=50.0)
     b.add_body(parent=SHOULDER, joint_type=HINGE, axis=(0, 1, 0),
                offset_pos=(0.35, 0, 0), mass=1.5, com=(0.17, 0, 0),
-               damping=1.5, armature=0.08, q_limit=(-2.0, 2.0), limit_k=50.0)
+               damping=1.5, armature=0.08, q_limit=(-2.4, 2.4), limit_k=50.0)
     b.add_body(parent=ELBOW, joint_type=HINGE, axis=(0, 1, 0),
                offset_pos=(0.35, 0, 0), mass=0.6, com=(0.06, 0, 0),
                damping=1.0, armature=0.05, q_limit=(-2.0, 2.0), limit_k=50.0)
@@ -215,9 +223,12 @@ class RelocateAdroit:
         return jax.random.uniform(key, (2,), minval=-START_RANGE,
                                   maxval=START_RANGE)
 
-    # reset arm posture: palm hovering the splayed hand over the nominal
-    # ball start (same wrist-level hover family as relocate_hand)
-    _reset_arm = (0.0, -0.346, 1.83, -1.484, 0.0, 0.0)
+    # reset arm posture: level palm centred exactly over the nominal
+    # ball start at z=0.72 (palm bottom 1 cm above the ball top), the
+    # measured hover of the working relocate_hand tripod; gradient-IK'd
+    # with a palm-level penalty. A centred cap matters: a 6 mm x-offset
+    # palm contact steadily squirts the ball -x during the grip
+    _reset_arm = (0.0, -0.3424, 2.0269, -1.6851, 0.0, 0.0)
     _reset_digits = (0.0, 0.5, 0.0) * 4 + (0.0, -0.5, 0.0)
 
     def reset(self, key):
@@ -294,18 +305,37 @@ class RelocateAdroit:
 GRIP_FINGER = (0.0, -0.45, -0.05)
 GRIP_THUMB = (0.0, 0.45, 0.05)
 
-CARRY_POSES = ((0.0, -0.45, 1.82, -1.40),
-               (0.07, -0.60, 1.85, -1.28),
-               (0.15, -0.75, 1.88, -1.15),
-               (0.22, -0.87, 1.91, -1.05),
-               (0.291, -1.20, 1.80, -0.75))
+
+def _ik_palm(env, state, target_pt, qa_init, digits, iters=800, lr=0.04,
+             level_weight=0.05):
+    """Gradient IK for the palm over the 4 arm joints (wrist + digits
+    held), with a palm-level penalty so the basket stays upright."""
+    lo = jnp.array(_LOW)
+    hi = jnp.array(_HIGH)
+
+    def obj(qa4):
+        q = jnp.concatenate([qa4, jnp.zeros(2), digits,
+                             state.physics.qpos[N_ACT:]])
+        p = env._sites_soa(q)[env._palm_geom]
+        lvl = (qa4[1] + qa4[2] + qa4[3]) ** 2
+        return jnp.sum((p - target_pt) ** 2) + level_weight * lvl
+
+    g = jax.jit(jax.grad(obj))
+    qa = qa_init
+    for _ in range(iters):
+        qa = jnp.clip(qa - lr * g(qa), lo[:4], hi[:4])
+    return qa
 
 
-def scripted_carry(env, state0=None, frames=None):
-    """Hand-scripted grasp-and-carry to the legacy fixed goal: curl the
-    five digits into a basket under the ball, then walk the arm through
-    the carry waypoints (the relocate_hand oracle on the bigger hand).
-    Use ``fixed_goal=True`` — the waypoints end at the legacy TARGET."""
+def scripted_carry(env, state0=None, frames=None, log=None):
+    """Hand-scripted grasp-and-carry: curl the five digits into a basket
+    under the ball, then walk the level palm up a waypoint ladder and
+    laterally to the goal with a droop-compensating servo. Unlike
+    ``relocate_hand.scripted_carry``'s fixed joint-space waypoints, the
+    carry is IK-derived (the 2-DoF wrist changes the arm kinematics, so
+    joint-space poses don't transfer) AND closed-loop: the PD arm droops
+    ~15 cm under gravity at the carry ceiling, so each IK target is
+    inflated by the measured palm error (3 correction passes/waypoint)."""
     state = env.reset(jax.random.key(0)) if state0 is None else state0
     hold = state.physics.qpos[:N_ACT]
     grip = hold.at[6:].set(jnp.array(GRIP_FINGER * 4 + GRIP_THUMB))
@@ -324,10 +354,43 @@ def scripted_carry(env, state0=None, frames=None):
             frames.append(np.asarray(qh))
         return s
 
+    def note(msg):
+        if log:
+            log(msg)
+
+    def pos(s):
+        pts = env._sites_soa(s.physics.qpos)
+        return (np.asarray(pts[env._palm_geom]),
+                np.asarray(pts[env._ball_geom]))
+
+    # 1) basket curl (single-stage: a second tighten pass squirts the
+    # ball +y out of the cage — measured, do not re-add)
     state = run(state, grip, 60)
-    _, _, ball_grip = env._sites(state.physics.qpos)
-    for p in CARRY_POSES:
-        state = run(state, jnp.concatenate([jnp.array(p), grip[4:]]), 40)
+    p, ball_grip = pos(state)
+    note(f"gripped: ball={ball_grip.round(3)}")
+
+    # 2) waypoint ladder: straight lift over the grasp point, then
+    # lateral to above the goal, palm kept level
+    tgt = np.asarray(state.target)
+    cruise = np.array([0.58, 0.0, 0.95])
+    goal_palm = tgt + np.array([0.0, 0.0, p[2] - ball_grip[2]])
+    ups = [np.array([0.58, 0.0, z]) for z in np.arange(0.74, 0.96, 0.03)]
+    lats = [cruise + a * (goal_palm - cruise)
+            for a in np.linspace(0.2, 1.0, 6)]
+    qa = state.physics.qpos[:4]
+    infl = np.zeros(3)  # persistent gravity-droop compensation
+    digits = grip[6:]
+    cmd = grip
+    for i, wp in enumerate(ups + lats):
+        for _ in range(3):
+            qa = _ik_palm(env, state, jnp.asarray(wp + infl), qa, digits,
+                          iters=1000, lr=0.05)
+            cmd = jnp.concatenate([qa, jnp.zeros(2), digits])
+            state = run(state, cmd, 12)
+            p, b = pos(state)
+            infl = np.clip(infl + 0.8 * (wp - p), -0.25, 0.25)
+        note(f"wp{i}: palm={p.round(3)} ball={b.round(3)}")
+    state = run(state, cmd, 40)
     _, _, ball = env._sites(state.physics.qpos)
     return state, {
         "ball_after_grip": ball_grip,

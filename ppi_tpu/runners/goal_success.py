@@ -68,6 +68,16 @@ CONFIGS = {
                            lengthscale="4dt", delta=0.9, n_iters=2,
                            anneal=0.5, timesteps=400, horizon=30,
                            n_samples=128, chunk=1),
+    # Adroit-class five-digit embodiments (r4): same canonical configs as
+    # their 3-digit -hand counterparts; chunk=1 per the long-T stacked-
+    # program precedent above
+    "door-v0-adroit": dict(alg="Lbps", policy="SquaredExponentialKernel",
+                           lengthscale="4dt", delta=0.9, n_iters=2,
+                           anneal=0.5, timesteps=250, horizon=30,
+                           n_samples=64, chunk=1),
+    "relocate-v0-adroit": dict(alg="Mppi", policy="ColouredNoise", beta=2.0,
+                               alpha=10.0, anneal=0.9, timesteps=140,
+                               horizon=20, n_samples=256, chunk=1),
 }
 
 
