@@ -83,11 +83,18 @@ class BallInACup:
     dim_dof: int = 4
     time_horizon: float = 2.0
     condition: bool = True
+    rigid: bool = False  # rigid articulated string (the XML scene's
+    #                      mechanical model) instead of the XPBD chain —
+    #                      see envs.ball_in_a_cup_rigid
 
     name = "BallInACup"
 
     def __post_init__(self):
-        object.__setattr__(self, "sim", BallInCupSim())
+        if self.rigid:
+            from ppi_tpu.envs.ball_in_a_cup_rigid import BallInCupSimRigid
+            object.__setattr__(self, "sim", BallInCupSimRigid())
+        else:
+            object.__setattr__(self, "sim", BallInCupSim())
 
     @property
     def dt(self):
@@ -141,4 +148,9 @@ class BallInACup:
         return f
 
 
-EPISODIC_ENVS = {"Test": TestEnv, "BallInACup": BallInACup}
+def _rigid_bic():
+    return BallInACup(rigid=True)
+
+
+EPISODIC_ENVS = {"Test": TestEnv, "BallInACup": BallInACup,
+                 "BallInACupRigid": _rigid_bic}
