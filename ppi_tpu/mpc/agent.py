@@ -193,6 +193,52 @@ class Mpc:
             body, (carry, env_state), jnp.arange(self.timesteps))
         return carry, env_state, track
 
+    @partial(jax.jit, static_argnames=("self", "length"))
+    def _episode_chunk(self, carry: MpcCarry, env_state, t0, length: int):
+        """`length` control steps starting at (traced) step t0 — the
+        building block of the resumable episode loop. One compiled
+        program per distinct length (equal chunks share it)."""
+
+        def body(loop_carry, time_index):
+            carry, env_state = loop_carry
+            action, carry, stats = self.control_step(carry, env_state,
+                                                     time_index)
+            env_state, reward = self.env.step(env_state, action)
+            out = dict(action=action, reward=reward,
+                       ess=stats.get("ess", jnp.zeros(())),
+                       alpha=stats.get("alpha", jnp.zeros(())),
+                       obs=self.env.observe(env_state))
+            if hasattr(env_state, "physics"):
+                out["qpos"] = env_state.physics.qpos
+            return (carry, env_state), out
+
+        return jax.lax.scan(body, (carry, env_state),
+                            t0 + jnp.arange(length))
+
+    def run_episode_resumable(self, carry: MpcCarry, env_state,
+                              start: int = 0, chunk: int = 50,
+                              on_chunk=None):
+        """Chunked episode loop with a checkpoint hook: minutes-long
+        device episodes survive interruption (VERDICT r3 next #8;
+        run_mpc --checkpoint-every/--resume wire this up). `on_chunk(t,
+        carry, env_state, tracks)` fires after every chunk with the
+        chunk-track list so far; resuming from a saved (carry, env_state,
+        t) reproduces the uninterrupted episode exactly — the chunked
+        scan is the same per-step program."""
+        tracks = []
+        t = start
+        while t < self.timesteps:
+            n = min(chunk, self.timesteps - t)
+            (carry, env_state), tr = self._episode_chunk(
+                carry, env_state, t, n)
+            tracks.append(tr)
+            t += n
+            if on_chunk is not None:
+                on_chunk(t, carry, env_state, tracks)
+        track = {k: jnp.concatenate([tr[k] for tr in tracks])
+                 for k in tracks[0]} if tracks else {}
+        return carry, env_state, track
+
     def run_episode(self, carry: MpcCarry, env_state, callback=None,
                     use_tqdm: bool = False):
         """Host-driven episode loop (for rendering / per-step callbacks)."""

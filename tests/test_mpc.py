@@ -179,3 +179,46 @@ class TestMapActionExtraction:
         assert np.isfinite(np.asarray(action)).all()
         # within actuator bounds
         assert float(jnp.abs(action[0])) <= float(env.action_high[0]) + 1e-6
+
+
+class TestResumableEpisode:
+    """Mid-episode checkpoint/resume (VERDICT r3 next #8): the chunked
+    episode loop equals the single-scan episode, and a kill-and-resume
+    from a serialized checkpoint reproduces the interrupted run's tail."""
+
+    def test_chunked_equals_scan_and_resume_is_exact(self, tmp_path):
+        env = Pendulum()
+        agent, pol = make_agent(env, timesteps=18, horizon=10, n_samples=16)
+        carry0 = agent.init(pol, jax.random.key(0))
+        es0 = env.reset(jax.random.key(1))
+
+        _, _, tr_scan = agent.run_episode_scan(carry0, es0, collect=False)
+
+        snap = {}
+
+        def on_chunk(t, c, es, tracks):
+            if t == 12:
+                snap.update(t=t, carry=c, es=es)
+
+        _, ef_a, tr_full = agent.run_episode_resumable(
+            carry0, es0, chunk=6, on_chunk=on_chunk)
+        # chunked == one-scan episode (same per-step program)
+        np.testing.assert_allclose(np.asarray(tr_full["reward"]),
+                                   np.asarray(tr_scan["reward"]),
+                                   rtol=1e-5, atol=1e-5)
+
+        # kill-and-resume: serialize the t=12 snapshot through the real
+        # checkpoint format, restore into fresh pytrees, continue
+        from ppi_tpu.utils import load_checkpoint, save_checkpoint
+        path = tmp_path / "ck.npz"
+        save_checkpoint(path, (snap["carry"], snap["es"]), step=snap["t"])
+        (carry_r, es_r), t_r = load_checkpoint(path, (carry0, es0))
+        assert t_r == 12
+        _, ef_b, tr_tail = agent.run_episode_resumable(
+            carry_r, es_r, start=t_r, chunk=6)
+        # the resumed tail is the SAME program on the SAME inputs:
+        # bitwise-equal rewards and identical final state
+        np.testing.assert_array_equal(np.asarray(tr_tail["reward"]),
+                                      np.asarray(tr_full["reward"][12:]))
+        np.testing.assert_array_equal(np.asarray(ef_b.qpos),
+                                      np.asarray(ef_a.qpos))
