@@ -72,22 +72,56 @@ def batch_rollout(env, state0, action_sequences, guard: bool = True,
         action_sequences)
 
 
+def risk_aggregate(rewards, horizon_mask=None, risk_quantile: float = 1.0,
+                   risk_weight: float = 0.0):
+    """(N, H) per-step rewards -> (N,) per-sample costs, optionally
+    risk-averse.
+
+    Default (risk_weight=0): cost = -sum(rewards), the reference's
+    aggregation (reference: mpc/wrappers.py:186). With risk_weight w > 0
+    and quantile q < 1, the cost blends in the CVaR of the per-step costs
+    over the horizon::
+
+        cost = (1 - w) * sum(c_t)  +  w * H * CVaR_q(c_t),
+        CVaR_q = mean of the worst ceil(q*H) per-step costs c_t = -r_t.
+
+    H * CVaR_1 == sum(c_t), so the blend is continuous in both knobs. The
+    risk term up-weights plans whose WORST steps are bad — e.g. a plan
+    that knocks the task object out of the workspace collapses its
+    late-horizon rewards, which the plain sum dilutes across the window
+    but the upper quantile concentrates. Masked (past-episode) steps
+    contribute cost 0, matching the sum semantics.
+    """
+    if horizon_mask is not None:
+        rewards = rewards * horizon_mask[None, :]
+    costs = -rewards
+    total = jnp.sum(costs, axis=1)
+    if risk_weight <= 0.0 or risk_quantile >= 1.0:
+        return total
+    h = costs.shape[1]
+    k = max(1, min(h, int(round(risk_quantile * h))))
+    worst, _ = jax.lax.top_k(costs, k)
+    cvar = jnp.mean(worst, axis=1)
+    return (1.0 - risk_weight) * total + risk_weight * h * cvar
+
+
 def mpc_objective(env, state0, horizon_mask=None, guard: bool = True,
-                  unroll: int = 1):
+                  unroll: int = 1, risk_quantile: float = 1.0,
+                  risk_weight: float = 0.0):
     """Build the ``f(key, actions) -> costs`` callable the solvers consume.
 
     ``horizon_mask`` (H,) zeroes rewards beyond the episode end — the
     static-shape version of the reference's window truncation
     (reference: mpc/mpc.py:50-56). Cost = -sum(rewards) per sample
-    (reference: mpc/wrappers.py:186).
+    (reference: mpc/wrappers.py:186), or the CVaR blend of
+    ``risk_aggregate`` when ``risk_weight`` > 0.
     """
 
     def f(key, action_sequences):
         del key
         _, rewards = batch_rollout(env, state0, action_sequences, guard,
                                    unroll)
-        if horizon_mask is not None:
-            rewards = rewards * horizon_mask[None, :]
-        return -jnp.sum(rewards, axis=1)
+        return risk_aggregate(rewards, horizon_mask, risk_quantile,
+                              risk_weight)
 
     return f

@@ -57,6 +57,13 @@ _HIGH = (1.5, 1.2, 2.0, 2.0, 0.55, 1.2)
 BOARD_POS = (NAIL_X, 0.0, BENCH_Z)
 BOARD_Z_SPAN = 0.15
 
+# Tool-retention workspace for the grip point (world x of the hammer frame
+# origin = GRIP_START[0] + q[HAM_X]). The arm's reach annulus at bench
+# height is ~0.81 m (0.35 + 0.35 links + 0.20 palm from a base 0.40 m above
+# the bench); beyond WS_GRIP_X[1] the grip section is ungraspable and the
+# episode is an absorbing failure (the knock-away state of RESULTS.md r3).
+WS_GRIP_X = (0.05, 0.80)
+
 
 def _build_model():
     b = ModelBuilder()
@@ -164,6 +171,14 @@ class HammerHand:
     kd_finger: float = 0.6
     engine: str = "soa"  # "tensor" is the fast-compile CPU test engine
     fixed_scene: bool = False  # True: pin the legacy board (flush bench)
+    knockaway_penalty: float = 40.0  # grasp-integrity gate: per-step cost
+    # per metre the grip point strays outside WS_GRIP_X (the reachable
+    # annulus). mj_envs hammer-v0 has the same role's "hammer off the
+    # table" penalty; here the absorbing direction is x (planar hammer),
+    # and the gate makes knock-away plans expensive BEFORE commitment —
+    # a batted hammer accrues ~H x penalty inside the planning window,
+    # dominating the few-unit approach gains that made such plans
+    # attractive (VERDICT r3 next #2b). 0 restores the r3 reward.
 
     name = "hammer-v0-hand"
 
@@ -272,6 +287,10 @@ class HammerHand:
                   - 1e-3 * jnp.sum(qvel[:N_ACT] ** 2)
                   + 2.0 * (depth > 0.5 * NAIL_DEPTH)
                   + 10.0 * (depth > 0.95 * NAIL_DEPTH))
+        grip_x = GRIP_START[0] + qpos[HAM_X]
+        oob = (jnp.maximum(grip_x - WS_GRIP_X[1], 0.0)
+               + jnp.maximum(WS_GRIP_X[0] - grip_x, 0.0))
+        reward = reward - self.knockaway_penalty * oob
         return state.replace(physics=phys, t=state.t + 1), reward
 
     # ---- scalar-SoA kernel contract (pallas_rollout) ------------------
@@ -312,12 +331,16 @@ class HammerHand:
         nail = pt(self._nail_geoms[0])
         depth = q[NAIL]
         vel2 = sum(qd[j] * qd[j] for j in range(N_ACT))
+        grip_x = GRIP_START[0] + q[HAM_X]
+        oob = (jnp.maximum(grip_x - WS_GRIP_X[1], 0.0)
+               + jnp.maximum(WS_GRIP_X[0] - grip_x, 0.0))
         return (-0.5 * dist(palm, grip)
                 - 0.3 * dist(head, nail)
                 + 50.0 * depth
                 - 1e-3 * vel2
                 + 2.0 * (depth > 0.5 * NAIL_DEPTH)
-                + 10.0 * (depth > 0.95 * NAIL_DEPTH))
+                + 10.0 * (depth > 0.95 * NAIL_DEPTH)
+                - self.knockaway_penalty * oob)
 
     def observe(self, state):
         # mj_envs hammer-v0 exposes the nail target position because the

@@ -1,16 +1,21 @@
 """Stacked-assembly variant of the scalar-SoA dynamics — the compile-time
-fast path for high-DoF scenes.
+AND runtime fast path for high-DoF scenes.
 
 The pure scalar-SoA pipeline (``engine_soa``) emits O(nq^2)-O(nq^3)
 *individual scalar HLO ops* for the Jacobian / mass-matrix / rhs / linear
 -solve assemblies (~15-20k ops per substep at 12-13 DoF).  XLA's pass
 pipeline is superlinear in graph size, which is why the hand-scene graphs
 compile in minutes on TPU and ~18 min on CPU (README known gap; measured
-r2).  This module keeps the parts that are *inherently sequential and
-O(nq)* — forward kinematics and the velocity/acceleration recursions,
-where scalar emission is cheap and fusion-friendly — and replaces every
-quadratic/cubic assembly with a handful of small stacked-array einsums:
+r2).  This module keeps the same dynamics but assembles everything in
+stacked-array form:
 
+  * forward kinematics + velocity/acceleration recursions run
+    LEVEL-SYNCHRONOUSLY over the kinematic tree: all bodies at one tree
+    depth advance in a single batched (k, 3, 3) op, so the sequential
+    program length is the tree DEPTH (~9 for the Adroit-class hands),
+    not the DoF count (23+) — r4 redesign; the first stacked engine kept
+    the O(nq)-sequential scalar recursions and spent ~half its substep
+    latency on them;
   * Jacobians: one broadcasted ``cross`` + ``where`` over a static
     (nq, nq) ancestor mask instead of nq^2 scalar crosses;
   * mass matrix: two einsums (translational + rotational) over the
@@ -18,14 +23,17 @@ quadratic/cubic assembly with a handful of small stacked-array einsums:
   * bias/contact generalized forces: einsums against stacked wrenches;
   * contact pairs: index-array gathers + one vectorized force law per
     pair type + scatter-adds, instead of per-pair scalar blocks;
-  * linear solve: Gauss-Jordan with a Python loop over pivots but
-    (nq, nq+1)-row vector ops (~4 HLO ops per pivot).
+  * linear solve: one batched Cholesky + triangular solve (the mass
+    matrix is PD) instead of nq sequential Gauss-Jordan pivots.
 
-Per-substep graph size drops from ~15k scalar ops to a few hundred, at
+Per-substep graph size drops from ~15k scalar ops to ~200 stacked ops, at
 the cost of computing the structurally-zero Jacobian entries (the masks
-make them exact zeros; the extra FLOPs are noise at nq <= 16 on a VPU
+make them exact zeros; the extra FLOPs are noise at nq <= 32 on a VPU
 lane).  Numerics are cross-validated against ``engine_soa`` and the
-tensor oracle in tests/test_physics.py.
+tensor oracle in tests/test_physics.py (1e-4/1e-3 trajectory agreement —
+the assemblies reorder f32 reductions, so bitwise equality is not the
+contract; fp-knife-edge envs pin ``stacked=False`` for exactly this
+reason, see envs/hammer_hand.py).
 
 ``engine_soa.make_single_step_soa`` dispatches here for nq >= 10 (where
 the compile-time blowup bites); the Pallas megakernel keeps the pure
@@ -38,23 +46,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ppi_tpu.envs.physics.engine import HINGE, ArticulatedModel
-from ppi_tpu.envs.physics.engine_soa import (
-    SoaModel,
-    fk_soa,
-    velocity_kinematics_soa,
-)
+from ppi_tpu.envs.physics.engine_soa import SoaModel
 
 
-def _stack_v3(vs):
-    """List of Vec3 (3-tuples of scalars/consts) -> (n, 3) array."""
-    return jnp.stack([jnp.stack([jnp.asarray(c, jnp.float32) for c in v])
-                      for v in vs])
-
-
-def _stack_m3(ms):
-    """List of flat row-major Mat3 9-tuples -> (n, 3, 3) array."""
-    return jnp.stack([jnp.stack([jnp.asarray(c, jnp.float32)
-                                 for c in r]).reshape(3, 3) for r in ms])
+def _skew(v):
+    return np.array([[0.0, -v[2], v[1]],
+                     [v[2], 0.0, -v[0]],
+                     [-v[1], v[0], 0.0]], np.float32)
 
 
 class _StackedConsts:
@@ -69,6 +67,7 @@ class _StackedConsts:
                 anc[b, j] = 1.0
         self.anc = anc                                    # (body, joint)
         self.hinge = np.array([t == HINGE for t in m.joint_types])
+        self.hinge_f = self.hinge.astype(np.float32)
         self.mass_b = np.array(m.mass, np.float32)
         self.inertia = np.array([np.reshape(i, (3, 3)) for i in m.inertia],
                                 np.float32)
@@ -81,6 +80,21 @@ class _StackedConsts:
         self.q_hi = np.array([h for _, h in m.q_limit], np.float32)
         self.friction_loss = np.array(m.friction_loss, np.float32)
         self.gravity = np.array(m.gravity, np.float32)
+        # kinematic-tree structure for the level-synchronous passes
+        self.parents = np.array(m.parents, np.int32)
+        self.offset_pos = np.array(m.offset_pos, np.float32)      # (nq, 3)
+        self.offset_rot = np.array(
+            [np.reshape(r, (3, 3)) for r in m.offset_rot], np.float32)
+        self.axis = np.array(m.axis, np.float32)                  # (nq, 3)
+        self.com = np.array(m.com, np.float32)                    # (nq, 3)
+        K = np.stack([_skew(a) for a in self.axis])
+        self.K = K                                                # (nq,3,3)
+        self.K2 = np.einsum("nij,njk->nik", K, K)
+        depth = np.zeros(nq, np.int32)
+        for b in range(nq):
+            depth[b] = 0 if m.parents[b] < 0 else depth[m.parents[b]] + 1
+        self.levels = [np.nonzero(depth == d)[0].astype(np.int32)
+                       for d in range(int(depth.max()) + 1)]
         # spheres
         self.sphere_body = np.array(m.sphere_body, np.int32)
         self.sphere_pos = np.array(m.sphere_pos, np.float32).reshape(-1, 3)
@@ -108,28 +122,91 @@ def _contact_force_stacked(m: SoaModel, delta, rel_vel, normal):
     return fn * normal - (ft / vt_norm) * v_t
 
 
-def forward_dynamics_stacked(m: SoaModel, c: _StackedConsts, q, qd, tau):
+def _fk_stacked(c: _StackedConsts, q, off_pos):
+    """Level-synchronous forward kinematics.
+
+    Each level advances ALL bodies at that tree depth with a handful of
+    batched (k, 3, 3) ops, so the sequential chain is the tree depth.
+    Same math as engine_soa.fk_soa (joint rotation via Rodrigues about the
+    LOCAL axis, world axis through the pre-rotation joint frame)."""
+    nq = c.nq
+    eye = jnp.eye(3, dtype=jnp.float32)
+    R = jnp.zeros((nq, 3, 3), jnp.float32)
+    P = jnp.zeros((nq, 3), jnp.float32)
+    A = jnp.zeros((nq, 3), jnp.float32)
+    sin_q, cos_q = jnp.sin(q), jnp.cos(q)
+    for li, idx in enumerate(c.levels):
+        k = len(idx)
+        if li == 0:
+            Rp = jnp.broadcast_to(eye, (k, 3, 3))
+            Pp = jnp.zeros((k, 3), jnp.float32)
+        else:
+            par = c.parents[idx]
+            Rp, Pp = R[par], P[par]
+        Rj = Rp @ jnp.asarray(c.offset_rot[idx])
+        Pj = Pp + jnp.einsum("kij,kj->ki", Rp, off_pos[idx])
+        Aw = jnp.einsum("kij,kj->ki", Rj, jnp.asarray(c.axis[idx]))
+        hf = c.hinge_f[idx]
+        rod = (eye
+               + sin_q[idx][:, None, None] * jnp.asarray(c.K[idx])
+               + (1.0 - cos_q[idx])[:, None, None] * jnp.asarray(c.K2[idx]))
+        rod = jnp.where(hf[:, None, None] > 0, rod, eye)  # slide: no spin
+        Rb = Rj @ rod
+        Pb = Pj + ((1.0 - hf) * q[idx])[:, None] * Aw
+        R = R.at[idx].set(Rb)
+        P = P.at[idx].set(Pb)
+        A = A.at[idx].set(Aw)
+    C = P + jnp.einsum("nij,nj->ni", R, jnp.asarray(c.com))
+    return R, P, A, C
+
+
+def _velocity_stacked(c: _StackedConsts, qd, P, A, C):
+    """Level-synchronous velocity/acceleration recursion with qdd = 0 —
+    the velocity-product (Coriolis/centrifugal) terms, identical math to
+    engine_soa.velocity_kinematics_soa, batched per tree level."""
+    nq = c.nq
+    W = jnp.zeros((nq, 3), jnp.float32)
+    Vo = jnp.zeros((nq, 3), jnp.float32)
+    Al = jnp.zeros((nq, 3), jnp.float32)
+    Ao = jnp.zeros((nq, 3), jnp.float32)
+    for li, idx in enumerate(c.levels):
+        k = len(idx)
+        if li == 0:
+            Wp = Vop = Alp = Aop = Pp = jnp.zeros((k, 3), jnp.float32)
+        else:
+            par = c.parents[idx]
+            Wp, Vop, Alp, Aop, Pp = W[par], Vo[par], Al[par], Ao[par], P[par]
+        rel = P[idx] - Pp
+        a = A[idx]
+        qdl = qd[idx][:, None]
+        hf = c.hinge_f[idx][:, None]
+        wXa = jnp.cross(Wp, a)
+        w = Wp + hf * qdl * a
+        vo = Vop + jnp.cross(Wp, rel) + (1.0 - hf) * qdl * a
+        al = Alp + hf * qdl * wXa
+        ao = (Aop + jnp.cross(Alp, rel) + jnp.cross(Wp, vo - Vop)
+              + (1.0 - hf) * qdl * wXa)
+        W = W.at[idx].set(w)
+        Vo = Vo.at[idx].set(vo)
+        Al = Al.at[idx].set(al)
+        Ao = Ao.at[idx].set(ao)
+    c_rel = C - P
+    Vc = Vo + jnp.cross(W, c_rel)
+    Ac = Ao + jnp.cross(Al, c_rel) + jnp.cross(W, Vc - Vo)
+    return W, Vo, Al, Ac
+
+
+def forward_dynamics_stacked(m: SoaModel, c: _StackedConsts, q, qd, tau,
+                             off_pos):
     """Stacked-assembly forward dynamics for ONE sample.
 
-    q, qd, tau: (nq,) arrays. Returns (qdd (nq,), mass_diag (nq,)).
-    Same dynamics as engine_soa.forward_dynamics_soa."""
-    nq = m.nq
-    qt = tuple(q[j] for j in range(nq))
-    qdt = tuple(qd[j] for j in range(nq))
-
-    # sequential O(nq) recursions stay scalar (cheap to trace, fuse well)
-    rots, poss, axes, coms = fk_soa(m, qt)
-    omega, v_o, _, alpha, _, a_c = velocity_kinematics_soa(
-        m, qt, qdt, rots, poss, axes, coms)
-
-    R = _stack_m3(rots)                                   # (nq, 3, 3)
-    P = _stack_v3(poss)
-    A = _stack_v3(axes)
-    C = _stack_v3(coms)
-    W = _stack_v3(omega)
-    Vo = _stack_v3(v_o)
-    Al = _stack_v3(alpha)
-    Ac = _stack_v3(a_c)
+    q, qd, tau: (nq,) arrays; off_pos: (nq, 3) joint-origin offsets (a
+    traced row carries the per-episode scene placement). Returns
+    (qdd (nq,), mass_diag (nq,)). Same dynamics as
+    engine_soa.forward_dynamics_soa."""
+    nq = c.nq
+    R, P, A, C = _fk_stacked(c, q, off_pos)
+    W, Vo, Al, Ac = _velocity_stacked(c, qd, P, A, C)
 
     anc = c.anc[..., None]                                # (b, j, 1)
     hinge_j = c.hinge[None, :, None]                      # (1, j, 1)
@@ -206,14 +283,13 @@ def forward_dynamics_stacked(m: SoaModel, c: _StackedConsts, q, qd, tau):
             A[None, :, :])
         rhs = rhs + jnp.einsum("sjx,sx->j", cols, F)
 
-    # Gauss-Jordan with vectorized row ops (PD, no pivoting — same
-    # numerics as engine_soa.solve_pd_scalar)
-    aug = jnp.concatenate([M, rhs[:, None]], axis=1)
-    for k in range(nq):
-        row = aug[k] / aug[k, k]
-        aug = aug - jnp.outer(aug[:, k], row)
-        aug = aug.at[k].set(row)
-    return aug[:, nq], jnp.diagonal(M)
+    # one batched PD solve (the mass matrix of an articulated assembly is
+    # PD; same assumption the scalar pipeline's pivot-free Gauss-Jordan
+    # makes) — a single fused Cholesky + two triangular solves instead of
+    # nq sequential pivot row-ops
+    L = jnp.linalg.cholesky(M)
+    qdd = jax.scipy.linalg.cho_solve((L, True), rhs)
+    return qdd, jnp.diagonal(M)
 
 
 def make_single_step_stacked(model: ArticulatedModel, dt: float,
@@ -225,8 +301,8 @@ def make_single_step_stacked(model: ArticulatedModel, dt: float,
     With ``dyn_body`` the returned step takes a trailing ``(3,)``
     joint-origin override for that body (the sampled scene placement —
     door frame / nail board), mirroring the scalar-SoA contract: the
-    traced offset rides ``SoaModel.with_body_offset`` so FK, Jacobians
-    and contacts all see the episode's scene."""
+    traced offset replaces that row of the stacked offset table, so FK,
+    Jacobians and contacts all see the episode's scene."""
     m0 = SoaModel(model)
     c = _StackedConsts(m0)
     h = dt / substeps
@@ -234,16 +310,15 @@ def make_single_step_stacked(model: ArticulatedModel, dt: float,
     has_friction = bool(np.any(c.friction_loss > 0.0))
 
     def one(qpos, qvel, tau, body_pos=None):
-        m = m0
+        off = jnp.asarray(c.offset_pos)
         if dyn_body is not None:
             assert body_pos is not None, \
                 "this model was built with dyn_body: pass its position"
-            m = m0.with_body_offset(
-                dyn_body, (body_pos[0], body_pos[1], body_pos[2]))
+            off = off.at[dyn_body].set(jnp.asarray(body_pos))
 
         def sub(carry, _):
             q, qd = carry
-            qdd, mdiag = forward_dynamics_stacked(m, c, q, qd, tau)
+            qdd, mdiag = forward_dynamics_stacked(m0, c, q, qd, tau, off)
             qd2 = qd + h * qdd
             if has_friction:
                 cap = fl * h / mdiag

@@ -69,6 +69,16 @@ class Mpc:
                               # must implement the scalar-SoA contract).
                               # Composes with mesh: each device runs the
                               # megakernel on its shard (shard_map)
+    risk_quantile: float = 1.0  # CVaR quantile over per-step costs
+    risk_weight: float = 0.0    # blend weight for the CVaR term; 0 = plain
+                                # -sum(rewards) (see envs.base.risk_aggregate)
+
+    def __post_init__(self):
+        if self.risk_weight > 0.0 and self.use_pallas:
+            raise ValueError(
+                "risk_weight > 0 needs per-step rewards; the Pallas "
+                "megakernel accumulates the cost in-kernel — use the "
+                "XLA rollout path for risk-averse MPC")
 
     def _mesh_shards(self) -> int:
         axes = ((self.mesh_axis,) if isinstance(self.mesh_axis, str)
@@ -120,7 +130,9 @@ class Mpc:
             from ppi_tpu.parallel import sharded_mpc_objective
             f = sharded_mpc_objective(self.env, env_state, self.mesh,
                                       self.horizon_mask(time_index),
-                                      axis=self.mesh_axis)
+                                      axis=self.mesh_axis,
+                                      risk_quantile=self.risk_quantile,
+                                      risk_weight=self.risk_weight)
         elif self.use_pallas:
             from ppi_tpu.envs.physics.pallas_rollout import (
                 pallas_mpc_objective)
@@ -129,7 +141,9 @@ class Mpc:
                                      block=_pick_block(self.n_samples))
         else:
             f = mpc_objective(self.env, env_state,
-                              self.horizon_mask(time_index))
+                              self.horizon_mask(time_index),
+                              risk_quantile=self.risk_quantile,
+                              risk_weight=self.risk_weight)
         step_fn = _one_iteration(self.solver, self.family, f, self.n_samples)
 
         def body(state, key):

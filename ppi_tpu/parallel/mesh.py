@@ -126,21 +126,24 @@ def sharded_objective(f, mesh: Mesh,
 
 def sharded_mpc_objective(env, state0, mesh: Mesh, horizon_mask=None,
                           guard: bool = True,
-                          axis: Union[str, Sequence[str]] = SAMPLE_AXIS):
+                          axis: Union[str, Sequence[str]] = SAMPLE_AXIS,
+                          risk_quantile: float = 1.0,
+                          risk_weight: float = 0.0):
     """``f(key, actions) -> costs`` with the sample axis sharded over the mesh.
 
     Drop-in replacement for envs.base.mpc_objective for the 16k+-sample sweep
     configuration (SURVEY.md §7 step 9): each device rolls out its shard; the
-    solver's weighted-moment contractions all-reduce over ICI.
+    solver's weighted-moment contractions all-reduce over ICI. The CVaR risk
+    blend (envs.base.risk_aggregate) is per-sample over the horizon axis,
+    which is unsharded — it composes with the mesh with no extra collectives.
     """
-    from ppi_tpu.envs.base import batch_rollout
+    from ppi_tpu.envs.base import batch_rollout, risk_aggregate
 
     def f(key, action_sequences):
         del key
         action_sequences = shard_batch(action_sequences, mesh, axis)
         _, rewards = batch_rollout(env, state0, action_sequences, guard)
-        if horizon_mask is not None:
-            rewards = rewards * horizon_mask[None, :]
-        return -jnp.sum(rewards, axis=1)
+        return risk_aggregate(rewards, horizon_mask, risk_quantile,
+                              risk_weight)
 
     return f

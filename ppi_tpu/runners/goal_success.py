@@ -117,7 +117,9 @@ def build_canonical_agent(env_name, cfg):
                 timesteps=cfg["timesteps"], horizon=cfg["horizon"],
                 n_samples=cfg["n_samples"],
                 n_iters=cfg.get("n_iters", 1),
-                anneal=cfg.get("anneal", 1.0))
+                anneal=cfg.get("anneal", 1.0),
+                risk_quantile=cfg.get("risk_quantile", 1.0),
+                risk_weight=cfg.get("risk_weight", 0.0))
     return env, agent, pol
 
 

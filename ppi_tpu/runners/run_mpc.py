@@ -109,6 +109,13 @@ def build_parser():
                         help="roll out through the whole-rollout Pallas "
                              "megakernel (TPU; env must implement the "
                              "scalar-SoA contract)")
+    parser.add_argument("--risk-quantile", type=float, default=0.25,
+                        help="CVaR quantile over per-step plan costs "
+                             "(active only with --risk-weight > 0)")
+    parser.add_argument("--risk-weight", type=float, default=0.0,
+                        help="risk-averse planning: blend weight for the "
+                             "CVaR of per-step costs (envs.base."
+                             "risk_aggregate); 0 = plain -sum(rewards)")
     parser.add_argument("--model-selection", type=str, default=None,
                         help="npz from ppi_tpu.model_selection: build the "
                              "policy from fitted (mean, covariance_out, "
@@ -231,7 +238,9 @@ def main(args):
                 timesteps=args.timesteps, horizon=args.horizon,
                 n_samples=args.n_samples, n_iters=args.n_iters,
                 anneal=args.anneal, use_map=args.algorithm == "iCem",
-                use_pallas=args.use_pallas)
+                use_pallas=args.use_pallas,
+                risk_quantile=args.risk_quantile,
+                risk_weight=args.risk_weight)
     carry = agent.init(policy, jax.random.key(args.seed))
     env_state = env.reset(jax.random.key(args.seed))
 

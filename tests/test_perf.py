@@ -3,8 +3,16 @@
 Run with PPI_TPU_TEST_PLATFORM=axon (or on any real accelerator backend).
 On the CPU test mesh these are skipped — wall-clock budgets are only
 meaningful on the target hardware.
+
+Every run appends its measurements to ``results/perf/PERF_latest.json``
+(VERDICT r3 next #6: the device certifications were invisible off-chip —
+the artifact makes `make perf` auditable without re-running on hardware).
+Records are written even when a budget assertion fails.
 """
 
+import datetime
+import json
+import pathlib
 import time
 
 import jax
@@ -14,6 +22,30 @@ import pytest
 ON_ACCEL = jax.default_backend() not in ("cpu",)
 pytestmark = pytest.mark.skipif(not ON_ACCEL,
                                 reason="perf budgets only hold on TPU")
+
+_RECORDS = []
+
+
+def _record(name, **fields):
+    _RECORDS.append(dict(name=name, **fields))
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _perf_artifact():
+    """Write the device-certification artifact after the perf session."""
+    yield
+    if not _RECORDS:
+        return
+    out_dir = pathlib.Path("results/perf")
+    out_dir.mkdir(parents=True, exist_ok=True)
+    payload = dict(
+        platform=jax.default_backend(),
+        device=str(jax.devices()[0]),
+        written=datetime.datetime.now().isoformat(timespec="seconds"),
+        records=_RECORDS,
+    )
+    (out_dir / "PERF_latest.json").write_text(
+        json.dumps(payload, indent=2) + "\n")
 
 # North-star budget: BASELINE.json demands < 100 ms; rounds 1-2 measured
 # ~5.5-7 ms. 15 ms leaves headroom for device variance while still
@@ -71,12 +103,16 @@ class TestPerfBudgets:
     def test_north_star_iteration_under_budget(self):
         step, policy = _north_star_step(1024)
         ms = _time_iterations(step, policy)
+        _record("north_star_iteration", ms=ms, budget_ms=BUDGET_MS,
+                n_samples=1024, passed=bool(ms < BUDGET_MS))
         assert ms < BUDGET_MS, f"{ms:.2f} ms > {BUDGET_MS} ms budget"
 
     def test_16k_sample_iteration_under_budget(self):
         """The multi-chip-sized batch on one chip (VERDICT r1 next #8)."""
         step, policy = _north_star_step(16384)
         ms = _time_iterations(step, policy, iters=3)
+        _record("16k_sample_iteration", ms=ms, budget_ms=BUDGET_MS_16K,
+                n_samples=16384, passed=bool(ms < BUDGET_MS_16K))
         assert ms < BUDGET_MS_16K, f"{ms:.2f} ms > {BUDGET_MS_16K} ms"
 
     def test_deployed_iteration_under_budget(self):
@@ -117,6 +153,9 @@ class TestPerfBudgets:
             state, means = scanned(state, jax.random.key(10 + i))
         jax.block_until_ready(means)
         ms = 1e3 * (time.perf_counter() - t0) / 90
+        _record("deployed_iteration_scan", ms=ms,
+                budget_ms=BUDGET_MS_DEPLOYED, n_samples=n,
+                passed=bool(ms < BUDGET_MS_DEPLOYED))
         assert ms < BUDGET_MS_DEPLOYED, \
             f"{ms:.3f} ms > {BUDGET_MS_DEPLOYED} ms deployment budget"
 
@@ -156,7 +195,11 @@ class TestDoorHandOnDevice:
             carry, es, _ = agent.run_episode_scan(carry, es, collect=False)
             angles.append(float(es.physics.qpos[DOOR]))
             if bool(env.success(es)):
+                _record("door_hand_mpc", seeds_tried=seed + 1,
+                        door_angles=angles, passed=True)
                 return
+        _record("door_hand_mpc", seeds_tried=3, door_angles=angles,
+                passed=False)
         raise AssertionError(f"no success over seeds (0,1,2): {angles}")
 
     def test_canonical_mpc_nails_through_grasped_hammer(self):
@@ -194,7 +237,11 @@ class TestDoorHandOnDevice:
             carry, es, _ = agent.run_episode_scan(carry, es, collect=False)
             depths.append(float(es.physics.qpos[NAIL]))
             if bool(env.success(es)):
+                _record("hammer_hand_mpc", seeds_tried=len(depths),
+                        nail_depths=depths, passed=True)
                 return
+        _record("hammer_hand_mpc", seeds_tried=len(depths),
+                nail_depths=depths, passed=False)
         raise AssertionError(f"no success over seeds (4,1,0): {depths}")
 
 
@@ -228,6 +275,7 @@ class TestGoalSampledHandsOnDevice:
         es = env.reset(jax.random.key(0))  # samples the goal axis
         carry, _ = agent.warm_start(carry, es, 50)
         carry, es, track = agent.run_episode_scan(carry, es, collect=False)
+        _record("pen_hand_mpc", passed=bool(env.success(es)))
         assert bool(env.success(es))
 
     def test_canonical_mpc_relocates_ball_with_digit_grasp(self):
@@ -254,4 +302,5 @@ class TestGoalSampledHandsOnDevice:
         es = env.reset(jax.random.key(0))  # samples the goal position
         carry, _ = agent.warm_start(carry, es, 50)
         carry, es, track = agent.run_episode_scan(carry, es, collect=False)
+        _record("relocate_hand_mpc", passed=bool(env.success(es)))
         assert bool(env.success(es))
