@@ -124,7 +124,8 @@ def build_canonical_agent(env_name, cfg):
 
 
 def run(env_name: str, resets: int, warmstart: int = 50, overrides=None,
-        base_key: int = 0, chunk: int = None, mesh_devices: int = 0):
+        base_key: int = 0, chunk: int = None, mesh_devices: int = 0,
+        restarts: int = 1):
     """Vmapped goal sweep; returns a JSON-serializable summary dict.
 
     ``chunk`` bounds how many episodes share one vmapped execution (the
@@ -138,8 +139,17 @@ def run(env_name: str, resets: int, warmstart: int = 50, overrides=None,
     ``mesh_devices`` > 0 shards the EPISODE axis over a device mesh
     instead (utils.batch.sharded_vmap): N resets in the wall time of
     N/devices — the experiment-throughput scale-out. Mutually exclusive
-    with ``chunk``."""
+    with ``chunk``.
+
+    ``restarts`` > 1 runs K independent solver seeds per sampled task
+    (the multi-start mechanism of runners/multi_start.py applied across
+    the goal/scene distribution — the shipped robustness answer for the
+    knife-edge contact tasks). The env reset key is held fixed within a
+    task, so all K restarts face the identical sampled scene. The
+    summary then reports BOTH the single-start rate (restart 0 only, the
+    honest canonical-protocol headline) and the any-of-K rate."""
     import jax
+    import jax.numpy as jnp
 
     cfg = dict(CONFIGS[env_name])
     cfg.update(overrides or {})
@@ -150,7 +160,7 @@ def run(env_name: str, resets: int, warmstart: int = 50, overrides=None,
     env, agent, pol = build_canonical_agent(env_name, cfg)
 
     def one_episode(key):
-        k_pol, k_env = jax.random.split(key)
+        k_env, k_pol = key[0], key[1]
         carry = agent.init(pol, k_pol)
         es = env.reset(k_env)  # <- fresh sampled goal per episode
         carry, _ = agent.warm_start(carry, es, n_iters=warmstart)
@@ -162,7 +172,13 @@ def run(env_name: str, resets: int, warmstart: int = 50, overrides=None,
 
     from ppi_tpu.utils.batch import chunked_vmap, sharded_vmap
 
-    keys = jax.random.split(jax.random.key(base_key), resets)
+    env_keys = jax.random.split(jax.random.key(base_key), resets)
+    pol_keys = jax.random.split(jax.random.key(base_key + 1),
+                                resets * restarts)
+    # (resets*restarts, 2) key pairs: env key repeated across a task's
+    # restarts, policy key fresh per episode
+    keys = jnp.stack([jnp.repeat(env_keys, restarts, axis=0),
+                      pol_keys], axis=1)
     if mesh_devices:
         # overrides any config-pinned chunk: chunking is a single-chip
         # TPU-fault workaround, the mesh runs different per-device shapes
@@ -175,21 +191,35 @@ def run(env_name: str, resets: int, warmstart: int = 50, overrides=None,
     goals = np.asarray(goals0)
     assert np.allclose(goals, np.asarray(goals_f)), \
         "episode goal must be constant within an episode"
+    returns = np.asarray(returns).reshape(resets, restarts)
+    succ = np.asarray(succ).reshape(resets, restarts)
+    goals = goals.reshape(resets, restarts, -1)
+    assert np.allclose(goals, goals[:, :1]), \
+        "all restarts of a task must face the identical sampled scene"
+    goals = goals[:, 0]
     # sampled goals must actually differ across episodes
-    spread = float(np.max(np.ptp(goals.reshape(resets, -1), axis=0)))
+    spread = float(np.max(np.ptp(goals, axis=0)))
     episodes = [
-        {"reset": i, "return": float(returns[i]),
-         "success": bool(np.asarray(succ[i])),
-         "goal": goals.reshape(resets, -1)[i].round(4).tolist()}
+        {"reset": i, "return": float(returns[i, 0]),
+         "success": bool(succ[i, 0]),
+         **({"restart_returns": returns[i].round(1).tolist(),
+             "restart_successes": succ[i].tolist(),
+             "success_any": bool(succ[i].any())} if restarts > 1 else {}),
+         "goal": goals[i].round(4).tolist()}
         for i in range(resets)
     ]
-    return {
+    summary = {
         "env": env_name, "config": {k: v for k, v in cfg.items()},
         "resets": resets, "goal_spread": round(spread, 4),
-        "success_rate": float(np.mean(np.asarray(succ, dtype=np.float64))),
-        "mean_return": float(np.mean(np.asarray(returns))),
+        "success_rate": float(np.mean(succ[:, 0].astype(np.float64))),
+        "mean_return": float(np.mean(returns[:, 0])),
         "episodes": episodes,
     }
+    if restarts > 1:
+        summary["restarts"] = restarts
+        summary["success_rate_any"] = float(
+            np.mean(succ.any(axis=1).astype(np.float64)))
+    return summary
 
 
 def _goal_field(env_name: str) -> str:
@@ -221,6 +251,10 @@ def main(argv=None):
                         "(N resets in the wall time of N/devices); "
                         "overrides --chunk")
     p.add_argument("--key", type=int, default=0)
+    p.add_argument("--restarts", type=int, default=1,
+                   help="independent solver seeds per sampled task "
+                        "(multi-start over the goal distribution); the "
+                        "artifact records single-start AND any-of-K rates")
     p.add_argument("--dir", type=str, default=None)
     args = p.parse_args(argv)
     if args.mesh_devices and args.chunk:
@@ -234,12 +268,17 @@ def main(argv=None):
         overrides["horizon"] = args.horizon
     summary = run(args.env, args.resets, warmstart=args.warmstart,
                   overrides=overrides, base_key=args.key, chunk=args.chunk,
-                  mesh_devices=args.mesh_devices)
+                  mesh_devices=args.mesh_devices, restarts=args.restarts)
     for ep in summary["episodes"]:
         print(f"[{args.env}] reset {ep['reset']}: return "
-              f"{ep['return']:.1f} success {ep['success']}")
+              f"{ep['return']:.1f} success {ep['success']}"
+              + (f" any-of-{args.restarts} {ep['success_any']}"
+                 if args.restarts > 1 else ""))
     print(f"[{args.env}] success rate {summary['success_rate']:.2f} over "
-          f"{args.resets} sampled goals (goal spread {summary['goal_spread']})")
+          f"{args.resets} sampled goals (goal spread {summary['goal_spread']})"
+          + (f"; any-of-{args.restarts} rate "
+             f"{summary['success_rate_any']:.2f}"
+             if args.restarts > 1 else ""))
     if args.dir is not None:
         out = Path(args.dir)
         out.mkdir(parents=True, exist_ok=True)

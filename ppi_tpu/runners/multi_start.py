@@ -117,19 +117,36 @@ def main(argv=None):
     p.add_argument("--env-key", type=int, default=0)
     p.add_argument("--base-key", type=int, default=0)
     p.add_argument("--dir", type=str, default=None)
+    p.add_argument("--override", action="append", default=[],
+                   metavar="KEY=VAL",
+                   help="override a canonical-config entry (repeatable), "
+                        "e.g. --override risk_weight=0.3; VAL is parsed "
+                        "as JSON when possible, else kept as a string")
+    p.add_argument("--tag", type=str, default=None,
+                   help="suffix for the artifact filename (so override "
+                        "runs don't clobber the canonical artifact)")
     args = p.parse_args(argv)
     if args.mesh_devices and args.chunk:
         p.error("--mesh-devices and --chunk are mutually exclusive")
+    overrides = {}
+    for item in args.override:
+        key, _, val = item.partition("=")
+        try:
+            overrides[key] = json.loads(val)
+        except json.JSONDecodeError:
+            overrides[key] = val
     summary = run(args.env, args.restarts, warmstart=args.warmstart,
                   base_key=args.base_key, env_key=args.env_key,
-                  chunk=args.chunk, mesh_devices=args.mesh_devices)
+                  chunk=args.chunk, mesh_devices=args.mesh_devices,
+                  overrides=overrides)
     print(f"[{args.env}] success {summary['n_success']}/{args.restarts} "
           f"(first at restart {summary['first_success']}), best return "
           f"{summary['best_return']}, {summary['wall_s']} s")
     if args.dir:
         out = pathlib.Path(args.dir)
         out.mkdir(parents=True, exist_ok=True)
-        path = out / f"{args.env}_restarts.json"
+        suffix = f"_{args.tag}" if args.tag else ""
+        path = out / f"{args.env}_restarts{suffix}.json"
         path.write_text(json.dumps(summary, indent=1) + "\n")
         print(f"wrote {path}")
     return summary

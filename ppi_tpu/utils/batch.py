@@ -31,7 +31,7 @@ def sharded_vmap(fn, keys, mesh, axis="samples"):
     pad = (-n) % size
     if pad:
         keys = jnp.concatenate(
-            [keys, jnp.broadcast_to(keys[-1:], (pad,))])
+            [keys, jnp.broadcast_to(keys[-1:], (pad,) + keys.shape[1:])])
     sharding = NamedSharding(mesh, PartitionSpec(axis))
     prog = jax.jit(jax.vmap(fn), in_shardings=sharding)
     out = prog(jax.device_put(keys, sharding))
@@ -53,7 +53,8 @@ def chunked_vmap(fn, keys, chunk=None):
     for i in range(0, n, chunk):
         ks = keys[i:i + chunk]
         if ks.shape[0] < chunk:  # pad to the compiled chunk shape
-            pad = jnp.broadcast_to(ks[-1:], (chunk - ks.shape[0],))
+            pad = jnp.broadcast_to(
+                ks[-1:], (chunk - ks.shape[0],) + ks.shape[1:])
             ks = jnp.concatenate([ks, pad])
         out = prog(ks)
         parts.append(jax.tree.map(

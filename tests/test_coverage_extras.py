@@ -106,6 +106,26 @@ class TestGoalSuccessRunner:
 
         json.dumps(summary)  # JSON-serializable end to end
 
+    def test_goal_sweep_restarts_axis(self):
+        """--restarts K: every restart of a task faces the identical
+        sampled scene (asserted inside run), returns differ across
+        restarts (solver seed varies), and the any-of-K rate dominates
+        the single-start rate."""
+        from ppi_tpu.runners import goal_success as gs
+
+        s = gs.run("fetch-push", resets=2, warmstart=1, restarts=3,
+                   overrides=dict(timesteps=3, horizon=5, n_samples=8))
+        assert s["restarts"] == 3
+        assert s["success_rate_any"] >= s["success_rate"]
+        for ep in s["episodes"]:
+            assert len(ep["restart_returns"]) == 3
+            assert ep["success_any"] == any(ep["restart_successes"])
+            # solver seed varies across restarts of the same task
+            assert len(set(ep["restart_returns"])) > 1
+        import json
+
+        json.dumps(s)
+
 
 class TestMultiStartRunner:
     def test_multi_start_fixed_task_chunked_matches(self):
