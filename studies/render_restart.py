@@ -30,6 +30,12 @@ def main(argv=None):
     p.add_argument("--env-key", type=int, default=0)
     p.add_argument("--base-key", type=int, default=0)
     p.add_argument("--warmstart", type=int, default=50)
+    p.add_argument("--until-success", action="store_true",
+                   help="sweep restart indices 0..restarts-1 and render "
+                        "the first successful episode (the render "
+                        "program is its own fp regime on the knife-edge "
+                        "tasks, so its success band differs from the "
+                        "recorded collect=False protocol's)")
     p.add_argument("--out", required=True)
     args = p.parse_args(argv)
 
@@ -47,16 +53,26 @@ def main(argv=None):
     cfg.pop("chunk", None)
     env, agent, pol = build_canonical_agent(args.env, cfg)
     es0 = env.reset(jax.random.key(args.env_key))
-    key = jax.random.split(jax.random.key(args.base_key),
-                           args.restarts)[args.index]
+    keys = jax.random.split(jax.random.key(args.base_key), args.restarts)
 
-    carry = agent.init(pol, key)
-    carry, _ = agent.warm_start(carry, es0, n_iters=args.warmstart)
-    carry, es_f, track = agent.run_episode_scan(carry, es0, collect=True)
-    ret = float(np.asarray(track["reward"]).sum())
-    success = bool(env.success(es_f))
-    print(f"[{args.env}] restart {args.index}: return {ret:.1f} "
-          f"success {success}")
+    def episode(key):
+        carry = agent.init(pol, key)
+        carry, _ = agent.warm_start(carry, es0, n_iters=args.warmstart)
+        return agent.run_episode_scan(carry, es0, collect=True)
+
+    indices = (range(args.index, args.restarts) if args.until_success
+               else [args.index])
+    success = False
+    for idx in indices:
+        carry, es_f, track = episode(keys[idx])
+        ret = float(np.asarray(track["reward"]).sum())
+        success = bool(env.success(es_f))
+        print(f"[{args.env}] restart {idx}: return {ret:.1f} "
+              f"success {success}")
+        if success or not args.until_success:
+            break
+    if args.until_success and not success:
+        print("no successful restart found; rendering the last attempt")
 
     from ppi_tpu import render as render_mod
     qh = np.asarray(track["qpos"])
