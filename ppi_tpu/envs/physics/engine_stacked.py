@@ -95,6 +95,18 @@ class _StackedConsts:
             depth[b] = 0 if m.parents[b] < 0 else depth[m.parents[b]] + 1
         self.levels = [np.nonzero(depth == d)[0].astype(np.int32)
                        for d in range(int(depth.max()) + 1)]
+        # for the fused scatter-free sweep (_fk_vel_stacked): a body's
+        # parent always sits exactly one level up, so parent lookups can
+        # index the PREVIOUS level's compact output array instead of a
+        # scattered (nq, ...) one. perm_inv undoes the level-order concat.
+        self.level_parent_pos = [np.zeros(0, np.int32)]
+        for d in range(1, len(self.levels)):
+            prev = {int(b): i for i, b in enumerate(self.levels[d - 1])}
+            self.level_parent_pos.append(np.array(
+                [prev[int(m.parents[b])] for b in self.levels[d]],
+                np.int32))
+        self.perm_inv = np.argsort(
+            np.concatenate(self.levels)).astype(np.int32)
         # spheres
         self.sphere_body = np.array(m.sphere_body, np.int32)
         self.sphere_pos = np.array(m.sphere_pos, np.float32).reshape(-1, 3)
@@ -196,6 +208,102 @@ def _velocity_stacked(c: _StackedConsts, qd, P, A, C):
     return W, Vo, Al, Ac
 
 
+def _fk_vel_stacked(c: _StackedConsts, q, qd, off_pos):
+    """FK + velocity recursion fused into ONE scatter-free level sweep.
+
+    Same math as ``_fk_stacked`` followed by ``_velocity_stacked``, but
+    (a) both recursions advance together — the velocity terms at level d
+    only need level-d FK outputs, so fusing halves the sequential chain
+    (tree-depth iterations instead of 2x tree depth), and (b) per-level
+    results live in compact per-level arrays with parent lookups into the
+    previous level (``level_parent_pos``) instead of `.at[idx].set`
+    scatters into (nq, ...) arrays — one static permutation gather at the
+    end replaces ~8 scatters per level. Measured on v5e at nq=23/N=64
+    this is the difference between a 0.26 ms and a sub-0.2 ms substep
+    (studies/adroit_substep_breakdown.py).
+
+    Returns (R, P, A, C, W, Vo, Al, Ac) exactly as the two-pass path.
+    """
+    eye = jnp.eye(3, dtype=jnp.float32)
+    sin_q, cos_q = jnp.sin(q), jnp.cos(q)
+    outs = []  # per level: (Rb, Pb, Aw, w, vo, al, ao)
+    for li, idx in enumerate(c.levels):
+        k = len(idx)
+        if li == 0:
+            Rp = jnp.broadcast_to(eye, (k, 3, 3))
+            Pp = jnp.zeros((k, 3), jnp.float32)
+            Wp = Vop = Alp = Aop = jnp.zeros((k, 3), jnp.float32)
+        else:
+            pp = c.level_parent_pos[li]
+            prev = outs[li - 1]
+            Rp, Pp = prev[0][pp], prev[1][pp]
+            Wp, Vop, Alp, Aop = (prev[3][pp], prev[4][pp],
+                                 prev[5][pp], prev[6][pp])
+        # --- FK (as _fk_stacked) ---
+        Rj = Rp @ jnp.asarray(c.offset_rot[idx])
+        Pj = Pp + jnp.einsum("kij,kj->ki", Rp, off_pos[idx])
+        Aw = jnp.einsum("kij,kj->ki", Rj, jnp.asarray(c.axis[idx]))
+        hf = c.hinge_f[idx]
+        rod = (eye
+               + sin_q[idx][:, None, None] * jnp.asarray(c.K[idx])
+               + (1.0 - cos_q[idx])[:, None, None] * jnp.asarray(c.K2[idx]))
+        rod = jnp.where(hf[:, None, None] > 0, rod, eye)  # slide: no spin
+        Rb = Rj @ rod
+        Pb = Pj + ((1.0 - hf) * q[idx])[:, None] * Aw
+        # --- velocity/acceleration (as _velocity_stacked) ---
+        rel = Pb - Pp
+        qdl = qd[idx][:, None]
+        hfc = hf[:, None]
+        wXa = jnp.cross(Wp, Aw)
+        w = Wp + hfc * qdl * Aw
+        vo = Vop + jnp.cross(Wp, rel) + (1.0 - hfc) * qdl * Aw
+        al = Alp + hfc * qdl * wXa
+        ao = (Aop + jnp.cross(Alp, rel) + jnp.cross(Wp, vo - Vop)
+              + (1.0 - hfc) * qdl * wXa)
+        outs.append((Rb, Pb, Aw, w, vo, al, ao))
+    perm = c.perm_inv
+    R, P, A, W, Vo, Al, Ao = (
+        jnp.concatenate([o[j] for o in outs])[perm] for j in
+        ((0, 1, 2, 3, 4, 5, 6)))
+    C = P + jnp.einsum("nij,nj->ni", R, jnp.asarray(c.com))
+    c_rel = C - P
+    Vc = Vo + jnp.cross(W, c_rel)
+    Ac = Ao + jnp.cross(Al, c_rel) + jnp.cross(W, Vc - Vo)
+    return R, P, A, C, W, Vo, Al, Ac
+
+
+def _spd_inv(A):
+    """Explicit SPD inverse via recursive 2x2 Schur-complement blocking.
+
+    log2(nq) levels of batched small matmuls — the form XLA:TPU tiles
+    onto the MXU — instead of the sequential triangular loops its small
+    Cholesky/solve expansion produces. Stable for the engine's mass
+    matrices (cond ~ 1e2; see studies/adroit_solve_micro.py) when run
+    under f32-accurate matmul precision (callers bind it).
+    """
+    n = A.shape[-1]
+    if n <= 2:
+        if n == 1:
+            return 1.0 / A
+        a, b = A[..., 0, 0], A[..., 0, 1]
+        cc, d = A[..., 1, 0], A[..., 1, 1]
+        det = a * d - b * cc
+        row0 = jnp.stack([d, -b], -1)
+        row1 = jnp.stack([-cc, a], -1)
+        return jnp.stack([row0, row1], -2) / det[..., None, None]
+    k = (n + 1) // 2
+    Ai = _spd_inv(A[..., :k, :k])
+    B = A[..., :k, k:]
+    AiB = Ai @ B
+    S = A[..., k:, k:] - jnp.swapaxes(B, -1, -2) @ AiB
+    Si = _spd_inv(S)
+    AiBSi = AiB @ Si
+    top_left = Ai + AiBSi @ jnp.swapaxes(AiB, -1, -2)
+    top = jnp.concatenate([top_left, -AiBSi], -1)
+    bot = jnp.concatenate([-jnp.swapaxes(AiBSi, -1, -2), Si], -1)
+    return jnp.concatenate([top, bot], -2)
+
+
 def forward_dynamics_stacked(m: SoaModel, c: _StackedConsts, q, qd, tau,
                              off_pos):
     """Stacked-assembly forward dynamics for ONE sample.
@@ -205,8 +313,7 @@ def forward_dynamics_stacked(m: SoaModel, c: _StackedConsts, q, qd, tau,
     (qdd (nq,), mass_diag (nq,)). Same dynamics as
     engine_soa.forward_dynamics_soa."""
     nq = c.nq
-    R, P, A, C = _fk_stacked(c, q, off_pos)
-    W, Vo, Al, Ac = _velocity_stacked(c, qd, P, A, C)
+    R, P, A, C, W, Vo, Al, Ac = _fk_vel_stacked(c, q, qd, off_pos)
 
     anc = c.anc[..., None]                                # (b, j, 1)
     hinge_j = c.hinge[None, :, None]                      # (1, j, 1)
@@ -285,10 +392,17 @@ def forward_dynamics_stacked(m: SoaModel, c: _StackedConsts, q, qd, tau,
 
     # one batched PD solve (the mass matrix of an articulated assembly is
     # PD; same assumption the scalar pipeline's pivot-free Gauss-Jordan
-    # makes) — a single fused Cholesky + two triangular solves instead of
-    # nq sequential pivot row-ops
-    L = jnp.linalg.cholesky(M)
-    qdd = jax.scipy.linalg.cho_solve((L, True), rhs)
+    # makes). Recursive-Schur explicit inverse instead of Cholesky:
+    # XLA:TPU expands small Cholesky + triangular solves into sequential
+    # scalar loops, while the Schur recursion is all batched 3-12-wide
+    # matmuls the MXU eats. Measured at nq=23/N=64 on v5e
+    # (studies/adroit_solve_micro.py, results/perf/adroit_solve_micro.json):
+    # 0.213 ms vs 0.359 ms per solve batch AND more accurate under f32
+    # matmuls (rel-2 err 9.5e-8 vs Cholesky's 2.4e-7). Requires f32-
+    # accurate matmuls (make_single_step_stacked binds the substep trace);
+    # bind here too so standalone calls stay correct on TPU.
+    with jax.default_matmul_precision("highest"):
+        qdd = (_spd_inv(M) @ rhs[..., None])[..., 0]
     return qdd, jnp.diagonal(M)
 
 
@@ -326,7 +440,17 @@ def make_single_step_stacked(model: ArticulatedModel, dt: float,
             q2 = q + h * qd2
             return (q2, qd2), None
 
-        (q, qd), _ = jax.lax.scan(sub, (qpos, qvel), None, length=substeps)
+        # f32-accurate matmuls: on TPU the default matmul precision is
+        # bf16 on the MXU, which silently degrades the 9-level FK
+        # rotation chains and the mass-matrix einsums far below the
+        # engine's cross-backend 1e-4 trajectory contract (measured:
+        # the same 23x23 solve is 1e-7-accurate on CPU and 1e-1 at TPU
+        # default precision — studies/adroit_solve_micro.py). These
+        # matrices are 3x3/23x23, so the three-pass f32 MXU cost is
+        # noise; bind the whole substep trace.
+        with jax.default_matmul_precision("highest"):
+            (q, qd), _ = jax.lax.scan(sub, (qpos, qvel), None,
+                                      length=substeps)
         return q, qd
 
     return one

@@ -72,6 +72,12 @@ class Mpc:
     risk_quantile: float = 1.0  # CVaR quantile over per-step costs
     risk_weight: float = 0.0    # blend weight for the CVaR term; 0 = plain
                                 # -sum(rewards) (see envs.base.risk_aggregate)
+    unroll: int = 1           # lax.scan unroll for the XLA rollout paths:
+                              # trades compile time for fewer sequential
+                              # dispatches — the lever for latency-bound
+                              # small-batch control steps (the 21-DoF
+                              # adroit envs at canonical N=64 are ~100%
+                              # rollout-latency; see studies/adroit_latency)
 
     def __post_init__(self):
         if self.risk_weight > 0.0 and self.use_pallas:
@@ -132,7 +138,8 @@ class Mpc:
                                       self.horizon_mask(time_index),
                                       axis=self.mesh_axis,
                                       risk_quantile=self.risk_quantile,
-                                      risk_weight=self.risk_weight)
+                                      risk_weight=self.risk_weight,
+                                      unroll=self.unroll)
         elif self.use_pallas:
             from ppi_tpu.envs.physics.pallas_rollout import (
                 pallas_mpc_objective)
@@ -143,7 +150,8 @@ class Mpc:
             f = mpc_objective(self.env, env_state,
                               self.horizon_mask(time_index),
                               risk_quantile=self.risk_quantile,
-                              risk_weight=self.risk_weight)
+                              risk_weight=self.risk_weight,
+                              unroll=self.unroll)
         step_fn = _one_iteration(self.solver, self.family, f, self.n_samples)
 
         def body(state, key):

@@ -128,7 +128,8 @@ def sharded_mpc_objective(env, state0, mesh: Mesh, horizon_mask=None,
                           guard: bool = True,
                           axis: Union[str, Sequence[str]] = SAMPLE_AXIS,
                           risk_quantile: float = 1.0,
-                          risk_weight: float = 0.0):
+                          risk_weight: float = 0.0,
+                          unroll: int = 1):
     """``f(key, actions) -> costs`` with the sample axis sharded over the mesh.
 
     Drop-in replacement for envs.base.mpc_objective for the 16k+-sample sweep
@@ -142,7 +143,8 @@ def sharded_mpc_objective(env, state0, mesh: Mesh, horizon_mask=None,
     def f(key, action_sequences):
         del key
         action_sequences = shard_batch(action_sequences, mesh, axis)
-        _, rewards = batch_rollout(env, state0, action_sequences, guard)
+        _, rewards = batch_rollout(env, state0, action_sequences, guard,
+                                   unroll)
         return risk_aggregate(rewards, horizon_mask, risk_quantile,
                               risk_weight)
 

@@ -28,8 +28,33 @@ import numpy as np
 from ppi_tpu.runners.run_mpc import build_parser as mpc_parser, main as mpc_main
 
 
+def _config_ckpt(outdir: Path, label: str) -> Path:
+    return outdir / f"curves_{label}.json"
+
+
+def _save_config(outdir: Path, label: str, runs):
+    """Persist one config's per-seed curves as the sweep-level checkpoint
+    (VERDICT r3 next #8: corl_curves resume). Seeds are deterministically
+    keyed, so a killed-and-resumed sweep reproduces the uninterrupted one."""
+    payload = [{**r, "rewards": [float(v) for v in r["rewards"]]}
+               for r in runs]
+    _config_ckpt(outdir, label).write_text(
+        json.dumps(payload, indent=1) + "\n")
+
+
+def _load_config(outdir: Path, label: str):
+    p = _config_ckpt(outdir, label)
+    if not p.exists():
+        return None
+    runs = json.loads(p.read_text())
+    for r in runs:
+        r["rewards"] = np.asarray(r["rewards"], dtype=np.float64)
+    return runs
+
+
 def run_grid_vmapped(env_name: str, seeds: int, timesteps: int, horizon: int,
-                     n_samples: int, outdir: Path, warmstart: int = 50):
+                     n_samples: int, outdir: Path, warmstart: int = 50,
+                     resume: bool = False):
     """All seeds of a config as ONE compiled vmapped program.
 
     The roofline analysis (RESULTS.md) shows the per-episode program is
@@ -51,6 +76,13 @@ def run_grid_vmapped(env_name: str, seeds: int, timesteps: int, horizon: int,
     dt = env.dt
     results = {}
     for label, alg, policy_name, extra in CONFIGS:
+        if resume:
+            done = _load_config(outdir, label)
+            if done is not None and len(done) >= seeds:
+                print(f"[{label}] resume: {len(done)} seeds already "
+                      f"recorded, skipping")
+                results[label] = done[:seeds]
+                continue
         kw = {}
         it = iter(extra)
         for k in it:
@@ -99,6 +131,7 @@ def run_grid_vmapped(env_name: str, seeds: int, timesteps: int, horizon: int,
             })
             print(f"[{label}] seed {i}: return {runs[-1]['return']:.1f} "
                   f"sm {runs[-1]['sm']:.2f} success {succ[i]}")
+        _save_config(outdir, label, runs)
         results[label] = runs
     return results
 
@@ -117,11 +150,17 @@ CONFIGS = [
 
 
 def run_grid(env: str, seeds: int, timesteps: int, horizon: int,
-             n_samples: int, outdir: Path):
+             n_samples: int, outdir: Path, resume: bool = False):
     results = {}
     for label, alg, policy, extra in CONFIGS:
         runs = []
-        for seed in range(seeds):
+        if resume:
+            done = _load_config(outdir, label) or []
+            runs = done[:seeds]
+            if runs:
+                print(f"[{label}] resume: seeds 0-{len(runs) - 1} already "
+                      f"recorded")
+        for seed in range(len(runs), seeds):
             argv = [alg, env, policy, "--timesteps", str(timesteps),
                     "--horizon", str(horizon), "--seed", str(seed),
                     "--no-plots", "--dir", str(outdir), "--force",
@@ -144,6 +183,7 @@ def run_grid(env: str, seeds: int, timesteps: int, horizon: int,
             })
             print(f"[{label}] seed {seed}: return {ret:.1f} "
                   f"sm {runs[-1]['sm']:.2f}")
+            _save_config(outdir, label, runs)
         results[label] = runs
     return results
 
@@ -207,7 +247,7 @@ def main(args):
     outdir.mkdir(parents=True, exist_ok=True)
     grid = run_grid_vmapped if args.vmap_seeds else run_grid
     results = grid(args.env, args.seeds, args.timesteps, args.horizon,
-                   args.n_samples, outdir)
+                   args.n_samples, outdir, resume=args.resume)
     rows = summarize(results)
     (outdir / "summary.json").write_text(json.dumps(rows, indent=2) + "\n")
     plot_overlay(results, rows, outdir / "overlay.png")
@@ -233,5 +273,9 @@ if __name__ == "__main__":
     p.add_argument("--vmap-seeds", action="store_true",
                    help="run all seeds of each config as one compiled "
                         "vmapped program (no per-seed npz artifacts)")
+    p.add_argument("--resume", action="store_true",
+                   help="skip configs/seeds whose curves_<label>.json "
+                        "checkpoint already exists under --dir (each "
+                        "config is persisted as it completes)")
     p.add_argument("--dir", default="results/corl")
     main(p.parse_args())

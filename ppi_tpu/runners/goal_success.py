@@ -119,7 +119,8 @@ def build_canonical_agent(env_name, cfg):
                 n_iters=cfg.get("n_iters", 1),
                 anneal=cfg.get("anneal", 1.0),
                 risk_quantile=cfg.get("risk_quantile", 1.0),
-                risk_weight=cfg.get("risk_weight", 0.0))
+                risk_weight=cfg.get("risk_weight", 0.0),
+                unroll=cfg.get("unroll", 1))
     return env, agent, pol
 
 
@@ -208,8 +209,13 @@ def run(env_name: str, resets: int, warmstart: int = 50, overrides=None,
          "goal": goals[i].round(4).tolist()}
         for i in range(resets)
     ]
+    import jax as _jax
     summary = {
         "env": env_name, "config": {k: v for k, v in cfg.items()},
+        # provenance: which backend produced this artifact (VERDICT r3
+        # weak #3 — device-run sweeps must be auditable off-chip)
+        "backend": _jax.default_backend(),
+        "device": str(_jax.devices()[0]),
         "resets": resets, "goal_spread": round(spread, 4),
         "success_rate": float(np.mean(succ[:, 0].astype(np.float64))),
         "mean_return": float(np.mean(returns[:, 0])),

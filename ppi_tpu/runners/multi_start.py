@@ -88,8 +88,13 @@ def run(env_name: str, restarts: int, warmstart: int = 50, overrides=None,
     returns = [float(r) for r in returns]
     succ = [bool(s) for s in succ]
     first = next((i for i, s in enumerate(succ) if s), None)
+    import jax as _jax
     return {
         "env": env_name, "config": {k: v for k, v in cfg.items()},
+        # provenance: which backend produced this artifact (VERDICT r3
+        # weak #3 — device-run sweeps must be auditable off-chip)
+        "backend": _jax.default_backend(),
+        "device": str(_jax.devices()[0]),
         "restarts": restarts,
         "success_any": any(succ),
         "n_success": sum(succ),

@@ -112,6 +112,10 @@ def build_parser():
     parser.add_argument("--risk-quantile", type=float, default=0.25,
                         help="CVaR quantile over per-step plan costs "
                              "(active only with --risk-weight > 0)")
+    parser.add_argument("--unroll", type=int, default=1,
+                        help="lax.scan unroll for the rollout horizon "
+                             "(latency lever for small-batch control "
+                             "steps; see studies/adroit_latency.py)")
     parser.add_argument("--risk-weight", type=float, default=0.0,
                         help="risk-averse planning: blend weight for the "
                              "CVaR of per-step costs (envs.base."
@@ -240,7 +244,8 @@ def main(args):
                 anneal=args.anneal, use_map=args.algorithm == "iCem",
                 use_pallas=args.use_pallas,
                 risk_quantile=args.risk_quantile,
-                risk_weight=args.risk_weight)
+                risk_weight=args.risk_weight,
+                unroll=args.unroll)
     carry = agent.init(policy, jax.random.key(args.seed))
     env_state = env.reset(jax.random.key(args.seed))
 

@@ -142,6 +142,27 @@ class TestMpcCartpole:
         assert rewards[-10:].mean() > 0.5, rewards[-10:]
 
 
+class TestUnroll:
+    def test_unrolled_control_step_matches(self):
+        """The scan-unroll latency lever (studies/adroit_latency.py) is a
+        pure scheduling choice: the control step's action must agree with
+        the unroll=1 program to fp tolerance (fusion may reassociate)."""
+        env = Pendulum()
+        agent1, pol = make_agent(env, "SquaredExponentialKernel", "Lbps")
+        agent4, _ = make_agent(env, "SquaredExponentialKernel", "Lbps",
+                               unroll=4)
+        carry = agent1.init(pol, jax.random.key(0))
+        es = env.reset(jax.random.key(1))
+        a1, c1, _ = agent1.control_step(carry, es, jnp.zeros((), jnp.int32))
+        a4, c4, _ = agent4.control_step(carry, es, jnp.zeros((), jnp.int32))
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a4),
+                                   rtol=1e-5, atol=1e-6)
+        m1 = agent1.family.predict_mean(c1.policy)
+        m4 = agent4.family.predict_mean(c4.policy)
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(m4),
+                                   rtol=1e-4, atol=1e-5)
+
+
 class TestMetrics:
     def test_smoothness_orders_signals(self):
         dt = 0.05

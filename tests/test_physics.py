@@ -320,6 +320,31 @@ class TestStackedEngine:
                                        rtol=1e-4, atol=1e-4)
             q, qd = q1, qd1
 
+    def test_fused_fk_vel_sweep_matches_two_pass(self, rng):
+        """The scatter-free fused FK+velocity sweep (_fk_vel_stacked, the
+        r4 latency optimization) computes identical math to the two-pass
+        path — only the data movement differs (compact per-level arrays +
+        one permutation gather vs .at[].set scatters), so agreement is at
+        fp-epsilon, not trajectory tolerance."""
+        from ppi_tpu.envs.door_adroit import DoorAdroit
+        from ppi_tpu.envs.physics import engine_stacked as es
+        from ppi_tpu.envs.physics.engine_soa import SoaModel
+
+        env = DoorAdroit()
+        c = es._StackedConsts(SoaModel(env._model))
+        nq = c.nq
+        q = jnp.asarray(rng.normal(size=nq).astype(np.float32) * 0.4)
+        qd = jnp.asarray(rng.normal(size=nq).astype(np.float32) * 0.8)
+        off = jnp.asarray(c.offset_pos)
+        R1, P1, A1, C1 = es._fk_stacked(c, q, off)
+        W1, Vo1, Al1, Ac1 = es._velocity_stacked(c, qd, P1, A1, C1)
+        R2, P2, A2, C2, W2, Vo2, Al2, Ac2 = es._fk_vel_stacked(c, q, qd,
+                                                               off)
+        for a, b in [(R1, R2), (P1, P2), (A1, A2), (C1, C2), (W1, W2),
+                     (Vo1, Vo2), (Al1, Al2), (Ac1, Ac2)]:
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-6, atol=1e-6)
+
     def test_matches_soa_with_all_contact_types(self, rng):
         """relocate exercises sphere-plane, sphere-sphere AND
         sphere-segment pairs plus slide joints and joint limits."""
