@@ -273,6 +273,64 @@ class DoorAdroit:
                   + 10.0 * (door_pos > 1.35))
         return state.replace(physics=phys, t=state.t + 1), reward
 
+    # ---- scalar-SoA kernel contract (pallas_rollout) ------------------
+    # Same megakernel contract as envs.door_hand, at 23 DoF: each scalar
+    # below becomes one (block,) VPU vector inside the whole-rollout
+    # Pallas kernel, which is the latency answer for the canonical
+    # 64-sample control step (the XLA lax.scan path pays a fixed
+    # per-fusion overhead x hundreds of small ops x substeps x horizon;
+    # see studies/adroit_latency.py).
+    scalar_dyn_body = DOOR
+
+    def scalar_dyn_consts(self, state):
+        return state.frame
+
+    def scalar_torque(self, m, q, qd, act):
+        digit = [self.kp_abd, self.kp_hand, self.kp_hand] * 5
+        digit_d = [self.kd_abd, self.kd_hand, self.kd_hand] * 5
+        kps = [self.kp] * 4 + [self.kp_wrist] * 2 + digit
+        kds = [self.kd] * 4 + [self.kd_wrist] * 2 + digit_d
+        tau = []
+        for j in range(N_ACT):
+            tgt = jnp.clip(act[j], _LOW[j], _HIGH[j])
+            tau.append(kps[j] * (tgt - q[j]) - kds[j] * qd[j])
+        seal = self.seal_force * jax.nn.sigmoid((0.35 - q[DOOR]) / 0.1)
+        tau.append(seal)
+        tau.append(jnp.zeros_like(q[LATCH]))
+        return tuple(tau)
+
+    def scalar_project(self, m, q_prev, q, qd):
+        """Per-lane scalar form of ``_bolt_project``; ``q_prev`` is the
+        pre-step joint vector (the bolt looks at the pre-step door angle)."""
+        del m
+        bolted = q[LATCH] > self.latch_unlock_angle
+        inside = q_prev[DOOR] < self.bolt_depth + 1e-3
+        clamp = bolted & inside & (q[DOOR] > self.bolt_depth)
+        q = list(q)
+        qd = list(qd)
+        q[DOOR] = jnp.where(clamp, self.bolt_depth, q[DOOR])
+        qd[DOOR] = jnp.where(clamp, jnp.minimum(qd[DOOR], 0.0), qd[DOOR])
+        return tuple(q), tuple(qd)
+
+    def scalar_reward(self, m, q, qd):
+        from ppi_tpu.envs.physics.engine_soa import fk_soa, geom_point_soa
+        rots, poss, _, _ = fk_soa(m, q)
+        palm = geom_point_soa(m, rots, poss, self._palm_geom)
+        ha = geom_point_soa(m, rots, poss, self._handle_geoms[0])
+        hb = geom_point_soa(m, rots, poss, self._handle_geoms[1])
+        dx = palm[0] - 0.5 * (ha[0] + hb[0])
+        dy = palm[1] - 0.5 * (ha[1] + hb[1])
+        dz = palm[2] - 0.5 * (ha[2] + hb[2])
+        dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+        door = q[DOOR]
+        vel2 = sum(qd[j] * qd[j] for j in range(23))
+        return (-0.5 * dist
+                + 2.0 * door
+                - 1e-3 * vel2
+                + 2.0 * (door > 0.2)
+                + 8.0 * (door > 1.0)
+                + 10.0 * (door > 1.35))
+
     def observe(self, state):
         palm, handle = self._sites(state.physics.qpos, state.frame)
         q = state.physics.qpos

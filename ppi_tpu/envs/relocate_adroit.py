@@ -283,6 +283,57 @@ class RelocateAdroit:
                   + 20.0 * (carry < 0.05))
         return state.replace(physics=phys, t=state.t + 1), reward
 
+    # ---- scalar-SoA kernel contract (pallas_rollout) ------------------
+    # Same megakernel contract as envs.relocate_hand, at 24 DoF (21
+    # actuated + free ball): the whole-rollout Pallas kernel is the
+    # latency path for the canonical 256-sample control step (see
+    # studies/adroit_latency.py for the XLA-scan vs kernel numbers on the
+    # door sibling).
+    def scalar_torque(self, m, q, qd, act):
+        digit = ([self.kp_abd, self.kp_digit, self.kp_digit] * 4
+                 + [self.kp_abd, self.kp_thumb, self.kp_thumb])
+        digit_d = ([self.kd_abd, self.kd_digit, self.kd_digit] * 4
+                   + [self.kd_abd, self.kd_thumb, self.kd_thumb])
+        kps = [self.kp] * 4 + [self.kp_wrist] * 2 + digit
+        kds = [self.kd] * 4 + [self.kd_wrist] * 2 + digit_d
+        tau = []
+        for j in range(N_ACT):
+            tgt = jnp.clip(act[j], _LOW[j], _HIGH[j])
+            tau.append(kps[j] * (tgt - q[j]) - kds[j] * qd[j])
+        tau += [jnp.zeros_like(q[0])] * 3  # free ball
+        return tuple(tau)
+
+    def scalar_reward_consts(self, state):
+        """Per-episode kernel constants: the sampled goal position."""
+        return state.target
+
+    def scalar_reward(self, m, q, qd, consts):
+        from ppi_tpu.envs.physics.engine_soa import fk_soa, geom_point_soa
+        gx, gy, gz = consts
+        rots, poss, _, _ = fk_soa(m, q)
+        palm = geom_point_soa(m, rots, poss, self._palm_geom)
+        tips = [geom_point_soa(m, rots, poss, g) for g in self._tip_geoms]
+        n = float(len(tips))
+        tipx = sum(t[0] for t in tips) / n
+        tipy = sum(t[1] for t in tips) / n
+        tipz = sum(t[2] for t in tips) / n
+        grx = 0.5 * (tipx + palm[0])
+        gry = 0.5 * (tipy + palm[1])
+        grz = 0.5 * (tipz + palm[2])
+        ball = geom_point_soa(m, rots, poss, self._ball_geom)
+        reach = jnp.sqrt((grx - ball[0]) ** 2 + (gry - ball[1]) ** 2
+                         + (grz - ball[2]) ** 2)
+        carry = jnp.sqrt((ball[0] - gx) ** 2 + (ball[1] - gy) ** 2
+                         + (ball[2] - gz) ** 2)
+        g2t = jnp.sqrt((grx - gx) ** 2 + (gry - gy) ** 2 + (grz - gz) ** 2)
+        lifted = ball[2] > TABLE_Z + BALL_RADIUS + 0.015
+        vel2 = sum(qd[j] * qd[j] for j in range(N_ACT))
+        return (-0.1 * reach
+                + lifted * (1.0 - 0.5 * g2t - 0.5 * carry)
+                - 1e-4 * vel2
+                + 10.0 * (carry < 0.1)
+                + 20.0 * (carry < 0.05))
+
     def observe(self, state):
         q, qd = state.physics.qpos, state.physics.qvel
         palm, grasp, ball = self._sites(q)

@@ -120,7 +120,8 @@ def build_canonical_agent(env_name, cfg):
                 anneal=cfg.get("anneal", 1.0),
                 risk_quantile=cfg.get("risk_quantile", 1.0),
                 risk_weight=cfg.get("risk_weight", 0.0),
-                unroll=cfg.get("unroll", 1))
+                unroll=cfg.get("unroll", 1),
+                use_pallas=cfg.get("use_pallas", False))
     return env, agent, pol
 
 
@@ -261,6 +262,12 @@ def main(argv=None):
                    help="independent solver seeds per sampled task "
                         "(multi-start over the goal distribution); the "
                         "artifact records single-start AND any-of-K rates")
+    p.add_argument("--use-pallas", action="store_true",
+                   help="roll out through the whole-rollout Pallas "
+                        "megakernel (TPU; envs implementing the "
+                        "scalar-SoA contract) — e.g. the 23-DoF adroit "
+                        "control step is 4.9 ms vs 46 ms on the XLA scan "
+                        "path (studies/adroit_latency.py)")
     p.add_argument("--dir", type=str, default=None)
     args = p.parse_args(argv)
     if args.mesh_devices and args.chunk:
@@ -272,6 +279,8 @@ def main(argv=None):
         overrides["timesteps"] = args.timesteps
     if args.horizon is not None:
         overrides["horizon"] = args.horizon
+    if args.use_pallas:
+        overrides["use_pallas"] = True
     summary = run(args.env, args.resets, warmstart=args.warmstart,
                   overrides=overrides, base_key=args.key, chunk=args.chunk,
                   mesh_devices=args.mesh_devices, restarts=args.restarts)

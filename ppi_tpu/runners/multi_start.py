@@ -108,9 +108,8 @@ def run(env_name: str, restarts: int, warmstart: int = 50, overrides=None,
 def main(argv=None):
     from ppi_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
-    envs = sorted(set(CONFIGS) | {"pen-v0", "pen-v0-hand", "relocate-v0",
-                                  "relocate-v0-hand", "fetch-push",
-                                  "fetch-pick"})
+    from ppi_tpu.runners.goal_success import CONFIGS as GOAL_CONFIGS
+    envs = sorted(set(CONFIGS) | set(GOAL_CONFIGS))
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--env", choices=envs, required=True)
     p.add_argument("--restarts", type=int, default=5)

@@ -91,6 +91,30 @@ def main():
     rows["control_step_canonical"] = dict(compile_s=round(c, 2),
                                           ms=round(ms, 3))
 
+    # 4. the megakernel path (r4): the same rollout and control step
+    # through the whole-rollout Pallas kernel — the latency answer (the
+    # XLA scan path pays per-fusion overhead x ~hundreds of small ops x
+    # 4 substeps x H; the kernel keeps the batch in VMEM for the whole
+    # horizon). TPU only (Mosaic).
+    if jax.default_backend() == "tpu":
+        from ppi_tpu.envs.physics.pallas_rollout import pallas_mpc_objective
+        fp = pallas_mpc_objective(env, es0, 30, block=128)
+        fpj = jax.jit(lambda k, a: fp(k, a))
+        c, ms = timed_compile(fpj, jax.random.key(0), plans)
+        rows["rollout_64x30_pallas"] = dict(compile_s=round(c, 2),
+                                            ms=round(ms, 3))
+
+        import dataclasses as _dc
+        agent_p = _dc.replace(agent, use_pallas=True)
+        @jax.jit
+        def ctrl_p(carry, es):
+            a, carry2, stats = agent_p.control_step(
+                carry, es, jnp.zeros((), jnp.int32))
+            return a, carry2
+        c, ms = timed_compile(ctrl_p, carry, es0)
+        rows["control_step_canonical_pallas"] = dict(compile_s=round(c, 2),
+                                                     ms=round(ms, 3))
+
     payload = dict(backend=jax.default_backend(), n_samples=N,
                    unroll=UNROLL, rows=rows)
     print(json.dumps(payload, indent=1))

@@ -184,6 +184,29 @@ class TestRewardConsts:
     @pytest.mark.skipif(INTERPRET, reason="11-13 DoF scalar-SoA kernels "
                         "compile in minutes on CPU; device-validated "
                         "(make perf / PPI_TPU_TEST_PLATFORM=axon)")
+    @pytest.mark.skipif(INTERPRET, reason="23-24 DoF scalar-SoA kernels: "
+                        "~1 min Mosaic compile, device-validated "
+                        "(make perf / PPI_TPU_TEST_PLATFORM=axon)")
+    @pytest.mark.parametrize("env_name", ["door-v0-adroit",
+                                          "relocate-v0-adroit"])
+    def test_adroit_kernels_match_oracle_on_device(self, env_name):
+        """The r4 Adroit-class latency path: the 23/24-DoF megakernel
+        against the stacked-engine XLA oracle (the engine the envs pin).
+        Covers the dyn-consts door frame and the reward-consts goal."""
+        from ppi_tpu.envs.base import mpc_objective
+        from ppi_tpu.runners.run_mpc import ENVS
+        env = ENVS[env_name]()
+        s0 = env.reset(jax.random.key(0))
+        h, n = 4, 64
+        acts = 0.3 * jax.random.normal(
+            jax.random.key(1), (n, h, env.action_dim))
+        c_ref = np.asarray(
+            jax.jit(lambda a: mpc_objective(env, s0)(None, a))(acts))
+        c_pal = np.asarray(jax.jit(
+            lambda a: pallas_mpc_objective(env, s0, h, block=128)(None, a))
+            (acts))
+        np.testing.assert_allclose(c_pal, c_ref, rtol=1e-3, atol=1e-3)
+
     @pytest.mark.parametrize("env_name", ["pen-v0-hand", "relocate-v0-hand"])
     def test_hand_env_kernels_match_oracle_on_device(self, env_name):
         from ppi_tpu.envs.base import mpc_objective
