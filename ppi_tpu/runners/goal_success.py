@@ -78,6 +78,18 @@ CONFIGS = {
     "relocate-v0-adroit": dict(alg="Mppi", policy="ColouredNoise", beta=2.0,
                                alpha=10.0, anneal=0.9, timesteps=140,
                                horizon=20, n_samples=256, chunk=1),
+    # r4 completions of the four-task Adroit-class coverage: pen keeps
+    # its siblings' canonical Lbps+SE config; hammer keeps the
+    # hammer-v0-hand protocol (the five-digit transverse wrap is the
+    # embodiment-side answer to the two-finger grasp's knife edge)
+    "pen-v0-adroit": dict(alg="Lbps", policy="SquaredExponentialKernel",
+                          lengthscale=0.08, delta=0.9, n_iters=2,
+                          anneal=0.5, timesteps=100, horizon=15,
+                          n_samples=96, chunk=1),
+    "hammer-v0-adroit": dict(alg="Lbps", policy="SquaredExponentialKernel",
+                             lengthscale="4dt", delta=0.9, n_iters=2,
+                             anneal=0.5, timesteps=400, horizon=30,
+                             n_samples=128, chunk=1),
 }
 
 

@@ -30,9 +30,11 @@ from ppi_tpu.envs.door_adroit import DoorAdroit
 from ppi_tpu.envs.door_hand import DoorHand
 from ppi_tpu.envs.finger import FingerSpin
 from ppi_tpu.envs.hammer import Hammer
+from ppi_tpu.envs.hammer_adroit import HammerAdroit
 from ppi_tpu.envs.hammer_hand import HammerHand
 from ppi_tpu.envs.hopper import Hopper
 from ppi_tpu.envs.pen import Pen
+from ppi_tpu.envs.pen_adroit import PenAdroit
 from ppi_tpu.envs.pen_hand import PenHand
 from ppi_tpu.envs.fetch_pick import FetchPickAndPlace
 from ppi_tpu.envs.push import FetchPush
@@ -58,9 +60,11 @@ ENVS = {
     "finger~spin": FingerSpin,
     "hammer-v0": Hammer,
     "hammer-v0-hand": HammerHand,
+    "hammer-v0-adroit": HammerAdroit,
     "hopper": Hopper,
     "pen-v0": Pen,
     "pen-v0-hand": PenHand,
+    "pen-v0-adroit": PenAdroit,
     "relocate-v0": Relocate,
     "relocate-v0-hand": RelocateHand,
     "relocate-v0-adroit": RelocateAdroit,

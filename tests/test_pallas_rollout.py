@@ -188,11 +188,13 @@ class TestRewardConsts:
                         "~1 min Mosaic compile, device-validated "
                         "(make perf / PPI_TPU_TEST_PLATFORM=axon)")
     @pytest.mark.parametrize("env_name", ["door-v0-adroit",
-                                          "relocate-v0-adroit"])
+                                          "relocate-v0-adroit",
+                                          "pen-v0-adroit",
+                                          "hammer-v0-adroit"])
     def test_adroit_kernels_match_oracle_on_device(self, env_name):
-        """The r4 Adroit-class latency path: the 23/24-DoF megakernel
+        """The r4 Adroit-class latency path: the 20-25-DoF megakernels
         against the stacked-engine XLA oracle (the engine the envs pin).
-        Covers the dyn-consts door frame and the reward-consts goal."""
+        Covers the dyn-consts door frame/board and reward-consts goals."""
         from ppi_tpu.envs.base import mpc_objective
         from ppi_tpu.runners.run_mpc import ENVS
         env = ENVS[env_name]()
