@@ -79,7 +79,8 @@ goals:
 	for e in pen-v0 pen-v0-hand relocate-v0 relocate-v0-hand \
 	    fetch-push fetch-pick door-v0 hammer-v0 \
 	    door-v0-hand hammer-v0-hand \
-	    door-v0-adroit relocate-v0-adroit; do \
+	    door-v0-adroit relocate-v0-adroit \
+	    pen-v0-adroit hammer-v0-adroit; do \
 	    $(PY) -m ppi_tpu.runners.goal_success --env $$e --resets 10 \
 	        --dir results/goals || exit 1; done
 
