@@ -104,7 +104,14 @@ def select_model(expert_actions, horizon: int, kernels: dict, t=None):
     model_selection.npz payload: per kernel name a dict with mean,
     covariance_out, param, kl.
     """
-    windows = action_windows(jnp.asarray(expert_actions), horizon)
+    expert_actions = jnp.asarray(expert_actions)
+    if expert_actions.ndim == 3:
+        # pre-windowed (n_b, horizon, d_a) episodes — the D4RL ingestion
+        # path (datasets.load_d4rl_hdf5), matching the reference's
+        # episode-carved batches (extract_mavn.py:109-116)
+        windows = expert_actions[:, :horizon]
+    else:
+        windows = action_windows(expert_actions, horizon)
     mean, cov_in, cov_out = extract_matrix_normal_moments(windows)
     if t is None:
         t = jnp.arange(horizon, dtype=jnp.float32)
@@ -135,9 +142,21 @@ def load_model_selection(path) -> dict:
 
 
 def main(args):
-    data = np.load(args.expert)
-    actions = data["actions"]
     dt = float(args.dt)
+    if getattr(args, "d4rl", None):
+        from ppi_tpu.datasets import dataset_stats, load_d4rl_hdf5
+        ds = load_d4rl_hdf5(
+            args.d4rl, horizon=args.horizon,
+            episode_length=(args.episode_length or None),
+            max_episodes=args.max_episodes)
+        stats = dataset_stats(ds, dt)
+        print(f"d4rl: {stats['n_episodes']} episodes, "
+              f"returns pct25/50/75 = {np.round(stats['returns_pct'], 2)}, "
+              f"smoothness = {np.round(stats['smoothness_pct'], 3)}")
+        actions = ds.actions
+    else:
+        data = np.load(args.expert)
+        actions = data["actions"]
     t = dt * jnp.arange(args.horizon)
     payload = select_model(actions, args.horizon, default_kernels(dt), t=t)
     for name, entry in payload.items():
@@ -154,10 +173,22 @@ if __name__ == "__main__":
         description="Fit matrix-normal moments + kernel hyperparameters to "
                     "expert action data (the reference's extract_mavn + "
                     "model_selection pipeline in one step).")
-    p.add_argument("--expert", required=True,
+    p.add_argument("--expert",
                    help="npz with an 'actions' (T, d_a) array "
                         "(from runners.collect_expert)")
+    p.add_argument("--d4rl",
+                   help="D4RL-format HDF5 dataset (actions/rewards/"
+                        "terminals); ingested directly, no gym/d4rl "
+                        "import chain (reference: extract_mavn.py:103-116)")
+    p.add_argument("--episode-length", type=int, default=1000,
+                   help="fixed episode length in the flat stream "
+                        "(reference default); 0 = split on terminals/"
+                        "timeouts instead")
+    p.add_argument("--max-episodes", type=int, default=None)
     p.add_argument("--horizon", type=int, default=30)
     p.add_argument("--dt", type=float, default=0.02)
     p.add_argument("--out", default="model_selection.npz")
-    main(p.parse_args())
+    _args = p.parse_args()
+    if not (_args.expert or _args.d4rl):
+        p.error("one of --expert / --d4rl is required")
+    main(_args)
