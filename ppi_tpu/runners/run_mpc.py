@@ -92,6 +92,9 @@ def build_parser():
     parser.add_argument("--no-plots", action="store_true")
     parser.add_argument("--render", action="store_true",
                         help="save a schematic episode GIF (engine envs)")
+    parser.add_argument("--render-3d", action="store_true",
+                        help="also save a ray-cast 3-D episode GIF of the "
+                             "scene geometry (render3d; any engine env)")
     parser.add_argument("--video-format", choices=["gif", "avi", "mp4"],
                         default="gif",
                         help="episode render container: gif (imageio), avi "
@@ -385,6 +388,21 @@ def main(args):
             logging.info("rendered %s", out)
         except Exception:
             logging.exception("rendering failed")
+    if args.render_3d and filepath is not None and "qpos" in track \
+            and hasattr(env, "_model"):
+        from ppi_tpu import render3d
+        try:
+            dyn_pos = None
+            if getattr(env, "scalar_dyn_body", None) is not None:
+                dyn_pos = np.asarray(env.scalar_dyn_consts(env_state))
+                dyn_pos = dyn_pos if dyn_pos.shape == (3,) else None
+            out3d = render3d.save_gif_3d(
+                filepath / "episode_3d.gif", env,
+                np.asarray(track["qpos"]), dyn_pos=dyn_pos,
+                style=render3d.SceneStyle(floor=0.0))
+            logging.info("rendered %s", out3d)
+        except Exception:
+            logging.exception("3-D rendering failed")
 
     if filepath is not None:
         save_results(filepath, obs=obs, actions=acts, rewards=rewards,
