@@ -61,6 +61,10 @@ class FingerSpin:
     substeps: int = 2
     max_torque: float = 4.0
     fixed_init: bool = False  # True: pin the zero-noise legacy start
+    full_range_init: bool = False  # dm_control parity: finger joints
+    #   uniform over their FULL limit ranges per reset (suite
+    #   randomizers.randomize_limited_and_rotational_joints), not the
+    #   bounded ±0.2 rad perturbation. Measured in studies/reset_parity.py.
 
     name = "finger~spin"
 
@@ -89,8 +93,13 @@ class FingerSpin:
             # full-range FINGER randomization is deliberately narrowed:
             # see PARITY.md (reset-distribution deltas).
             kf, ks = jax.random.split(key)
-            qpos = qpos.at[:2].add(
-                jax.random.uniform(kf, (2,), minval=-0.2, maxval=0.2))
+            if self.full_range_init:
+                lim = self._model.q_limit[:2]
+                qpos = qpos.at[:2].set(jax.random.uniform(
+                    kf, (2,), minval=lim[:, 0], maxval=lim[:, 1]))
+            else:
+                qpos = qpos.at[:2].add(
+                    jax.random.uniform(kf, (2,), minval=-0.2, maxval=0.2))
             qpos = qpos.at[SPINNER].set(
                 jax.random.uniform(ks, (), minval=-jnp.pi, maxval=jnp.pi))
         return FingerState(

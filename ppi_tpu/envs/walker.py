@@ -73,6 +73,11 @@ class Walker:
     substeps: int = 4
     max_torque: float = 35.0
     fixed_init: bool = False  # True: pin the zero-noise legacy start
+    full_range_init: bool = False  # dm_control walker parity: pitch
+    #   uniform over [-pi, pi], limited leg hinges uniform over their
+    #   FULL ranges per reset (suite randomizers.randomize_limited_and_
+    #   rotational_joints); slides and velocities stay at default, as in
+    #   the suite. Measured in studies/reset_parity.py.
 
     name = "walker2d"
 
@@ -95,7 +100,14 @@ class Walker:
         qpos = jnp.zeros(NQ).at[3].set(0.1).at[4].set(-0.2).at[6].set(-0.1) \
             .at[7].set(-0.1)
         qvel = jnp.zeros(NQ)
-        if not self.fixed_init:
+        if self.full_range_init:
+            kp, kl = jax.random.split(key)
+            lim = self._model.q_limit[3:]
+            qpos = qpos.at[2].set(
+                jax.random.uniform(kp, (), minval=-jnp.pi, maxval=jnp.pi))
+            qpos = qpos.at[3:].set(jax.random.uniform(
+                kl, (NQ - 3,), minval=lim[:, 0], maxval=lim[:, 1]))
+        elif not self.fixed_init:
             # gym Walker2d reset: qpos/qvel += U(-5e-3, 5e-3)
             kq, kv = jax.random.split(key)
             qpos = qpos + jax.random.uniform(kq, (NQ,), minval=-5e-3,

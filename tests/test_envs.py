@@ -342,3 +342,32 @@ class TestGymResetDistributions:
         pinned = FingerSpin(fixed_init=True)
         assert float(pinned.reset(
             jax.random.key(3)).physics.qpos[SPINNER]) == 0.0
+
+    def test_finger_full_range_init_spans_joint_limits(self):
+        """dm_control parity mode (VERDICT r3 missing #6): finger joints
+        uniform over their FULL limit ranges, not the +-0.2 rad band."""
+        from ppi_tpu.envs.finger import FingerSpin
+        env = FingerSpin(full_range_init=True)
+        lim = np.asarray(env._model.q_limit[:2])
+        qs = np.stack([np.asarray(env.reset(jax.random.key(i)).physics
+                                  .qpos[:2]) for i in range(64)])
+        assert (qs >= lim[:, 0] - 1e-6).all()
+        assert (qs <= lim[:, 1] + 1e-6).all()
+        # spans well beyond the narrowed band about the engage pose
+        span = qs.max(axis=0) - qs.min(axis=0)
+        assert (span > 0.8 * (lim[:, 1] - lim[:, 0])).all()
+
+    def test_walker_full_range_init_spans_limits_and_pitch(self):
+        from ppi_tpu.envs.walker import NQ, WalkerWalk
+        env = WalkerWalk(full_range_init=True)
+        lim = np.asarray(env._model.q_limit[3:])
+        qs = np.stack([np.asarray(env.reset(jax.random.key(i)).physics
+                                  .qpos) for i in range(64)])
+        assert (qs[:, 3:] >= lim[:, 0] - 1e-6).all()
+        assert (qs[:, 3:] <= lim[:, 1] + 1e-6).all()
+        pitch_span = qs[:, 2].max() - qs[:, 2].min()
+        assert pitch_span > 4.0  # ~uniform over [-pi, pi]
+        # slides and velocities untouched, as in the suite randomizer
+        assert np.abs(qs[:, :2]).max() < 1e-6
+        vel = np.asarray(env.reset(jax.random.key(0)).physics.qvel)
+        np.testing.assert_array_equal(vel, np.zeros(NQ))
