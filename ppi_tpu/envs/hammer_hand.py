@@ -386,7 +386,8 @@ def _ik_palm(env, state, target_pt, q_init, iters=500, lr=0.02,
     return jnp.concatenate([qa, fing])
 
 
-def scripted_hammer(env, state0=None, log=None, max_swings=22, frames=None):
+def scripted_hammer(env, state0=None, log=None, max_swings=22, frames=None,
+                    actions=None):
     """Hand-scripted tool use: descend onto the resting free hammer, cage
     the handle (aft finger first, then the fore finger wedges it against
     the backstop), lift gradually, carry toward the nail, and drive the
@@ -413,6 +414,12 @@ def scripted_hammer(env, state0=None, log=None, max_swings=22, frames=None):
         s, qh = run_scan(s, tgt, n)
         if frames is not None:
             frames.append(np.asarray(qh))
+        if actions is not None:
+            # expert-demonstration log: the PD position target held for
+            # these n steps (the env's action space) — feeds the offline
+            # model-selection pipeline (reference: extract_mavn.py)
+            actions.append(np.repeat(
+                np.asarray(jnp.clip(tgt, lo, hi))[None], n, axis=0))
         return s
 
     def servo(s, tgt, rounds=2, n=30):

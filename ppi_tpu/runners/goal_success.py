@@ -108,6 +108,7 @@ def build_canonical_agent(env_name, cfg):
     from ppi_tpu.runners.run_mpc import ENVS
 
     env = ENVS[env_name](**cfg.get("env_kwargs", {}))
+    ms_path = cfg.get("model_selection")
     ls = cfg.get("lengthscale", 1.0)
     if ls == "4dt":
         ls = 4 * env.dt
@@ -117,9 +118,31 @@ def build_canonical_agent(env_name, cfg):
         # alone (ADVICE r3)
         cfg["lengthscale_spec"] = "4dt"
         cfg["lengthscale"] = ls
+    mean, cov_in, cov_out = design_moments(env.action_low, env.action_high,
+                                           ratio=1000.0)
+    if ms_path:
+        # fitted expert prior (ppi_tpu.model_selection artifact) replaces
+        # the design moments, mirroring run_mpc --model-selection
+        # (reference: run_mpc.py:53-61); correlation structure fitted,
+        # exploration scale restored to the actuator box unless
+        # ms_fitted_scale is set
+        from ppi_tpu.model_selection import load_model_selection
+        moments = load_model_selection(ms_path)[cfg["policy"]]
+        mean = jnp.asarray(moments["mean"])
+        cov_out = jnp.asarray(moments["covariance_out"])
+        param = np.asarray(moments["param"])
+        cov_in = jnp.asarray(param[:1])
+        if param.shape[0] > 1:
+            ls = float(param[1])
+            cfg["lengthscale"] = ls
+        if not cfg.get("ms_fitted_scale", False):
+            design_var = 0.25 * (env.action_high - env.action_low) ** 2
+            fitted_var = cov_in[0] * jnp.diagonal(cov_out)
+            d = jnp.sqrt(design_var / jnp.maximum(fitted_var, 1e-12))
+            cov_out = cov_out * jnp.outer(d, d)
     fam, pol = make_policy(
         cfg["policy"], env.dt * jnp.arange(cfg["horizon"]), env.action_dim,
-        *design_moments(env.action_low, env.action_high, ratio=1000.0),
+        mean, cov_in, cov_out,
         lengthscale=ls, beta=cfg.get("beta", 2.0),
         lower=env.action_low, upper=env.action_high)
     solver = make_solver(cfg["alg"], alpha=cfg.get("alpha", 10.0),
@@ -280,6 +303,14 @@ def main(argv=None):
                         "scalar-SoA contract) — e.g. the 23-DoF adroit "
                         "control step is 4.9 ms vs 46 ms on the XLA scan "
                         "path (studies/adroit_latency.py)")
+    p.add_argument("--model-selection", type=str, default=None,
+                   help="npz from ppi_tpu.model_selection: build the "
+                        "policy prior from fitted expert moments instead "
+                        "of design_moments (reference: run_mpc.py:53-61)")
+    p.add_argument("--ms-fitted-scale", action="store_true",
+                   help="with --model-selection, keep the expert's "
+                        "absolute action variance (no actuator-box "
+                        "rescale)")
     p.add_argument("--dir", type=str, default=None)
     args = p.parse_args(argv)
     if args.mesh_devices and args.chunk:
@@ -293,6 +324,10 @@ def main(argv=None):
         overrides["horizon"] = args.horizon
     if args.use_pallas:
         overrides["use_pallas"] = True
+    if args.model_selection:
+        overrides["model_selection"] = args.model_selection
+        if args.ms_fitted_scale:
+            overrides["ms_fitted_scale"] = True
     summary = run(args.env, args.resets, warmstart=args.warmstart,
                   overrides=overrides, base_key=args.key, chunk=args.chunk,
                   mesh_devices=args.mesh_devices, restarts=args.restarts)

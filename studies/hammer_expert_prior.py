@@ -1,0 +1,127 @@
+"""Expert-prior rescue attempt for the hammer-v0-hand scene distribution.
+
+The canonical hammer-v0-hand goal sweep sits at 0.1 (single-start AND
+any-of-5) over sampled board heights — the recorded knife-edge negative
+result: neither temperature policies (r3) nor objective shaping (r4)
+convert samples into robustness, and multi-start only helps on the fixed
+scene. This study tries the reference's own remaining mechanism, offline
+model selection (reference: run_mpc.py:53-61 + extract_mavn.py): fit the
+policy prior to SUCCESSFUL scripted-oracle demonstrations collected across
+the sampled scene distribution, then re-run the sweep with the fitted
+prior. The fitted temporal correlation (swing rhythm) reshapes the sample
+distribution toward swing-like trajectories — exactly what the design
+prior cannot express.
+
+Phases (each resumable from the previous phase's artifact):
+  collect — scripted_hammer over K sampled scenes, keep successful demos
+  fit     — H-step windows -> MN moments -> SE/periodic kernel fits
+  sweep   — goal_success with --model-selection over 10 sampled scenes
+
+Usage: python -m studies.hammer_expert_prior [--phase all] [--scenes 8]
+"""
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+OUTDIR = Path("results/hammer_prior")
+HORIZON = 30
+STRIDE = 5
+
+
+def collect(scenes: int):
+    import jax
+
+    from ppi_tpu.envs.hammer_hand import HammerHand, scripted_hammer
+
+    env = HammerHand()
+    demos, infos = [], []
+    for k in range(scenes):
+        acts = []
+        t0 = time.time()
+        state0 = env.reset(jax.random.key(k))
+        _, info = scripted_hammer(env, state0=state0, actions=acts)
+        a = np.concatenate(acts, axis=0)
+        info.update(scene_key=k, steps=int(a.shape[0]),
+                    board_z=float(np.asarray(state0.board)[2]),
+                    wall_s=round(time.time() - t0, 1))
+        infos.append(info)
+        print(f"[collect] scene {k}: success={info['success']} "
+              f"nail={info['nail']:.4f} steps={info['steps']} "
+              f"({info['wall_s']}s)")
+        if info["success"]:
+            demos.append(a)
+    OUTDIR.mkdir(parents=True, exist_ok=True)
+    np.savez(OUTDIR / "demos.npz",
+             **{f"demo_{i}": d for i, d in enumerate(demos)})
+    (OUTDIR / "collect.json").write_text(json.dumps(infos, indent=1) + "\n")
+    print(f"[collect] {len(demos)}/{scenes} successful demos -> "
+          f"{OUTDIR / 'demos.npz'}")
+    return demos
+
+
+def fit():
+    from ppi_tpu.envs.hammer_hand import HammerHand
+    from ppi_tpu.model_selection import (
+        default_kernels, save_model_selection, select_model)
+
+    data = np.load(OUTDIR / "demos.npz")
+    windows = []
+    for name in data.files:
+        d = data[name]
+        for s in range(0, d.shape[0] - HORIZON + 1, STRIDE):
+            windows.append(d[s:s + HORIZON])
+    windows = np.stack(windows)
+    print(f"[fit] {windows.shape[0]} windows of H={HORIZON} from "
+          f"{len(data.files)} demos")
+    dt = HammerHand().dt
+    kernels = {k: v for k, v in default_kernels(dt).items()
+               if k in ("SquaredExponentialKernel", "PeriodicKernel")}
+    payload = select_model(windows, HORIZON, kernels,
+                           t=dt * np.arange(HORIZON))
+    for name, entry in payload.items():
+        print(f"[fit] {name}: param={np.round(entry['param'], 4)} "
+              f"kl={entry['kl']:.3f}")
+    save_model_selection(OUTDIR / "model_selection.npz", payload)
+    print(f"[fit] wrote {OUTDIR / 'model_selection.npz'}")
+
+
+def sweep(resets: int, restarts: int, fitted_scale: bool):
+    from ppi_tpu.runners.goal_success import run
+
+    overrides = {"model_selection": str(OUTDIR / "model_selection.npz")}
+    if fitted_scale:
+        overrides["ms_fitted_scale"] = True
+    summary = run("hammer-v0-hand", resets, overrides=overrides,
+                  restarts=restarts)
+    summary["prior"] = "expert_ms" + ("_fittedscale" if fitted_scale else "")
+    out = OUTDIR / f"sweep{'_fittedscale' if fitted_scale else ''}.json"
+    out.write_text(json.dumps(summary, indent=1) + "\n")
+    print(f"[sweep] single-start {summary['success_rate']:.2f}"
+          + (f" any-of-{restarts} {summary['success_rate_any']:.2f}"
+             if restarts > 1 else "") + f" -> {out}")
+    return summary
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--phase", choices=["collect", "fit", "sweep", "all"],
+                   default="all")
+    p.add_argument("--scenes", type=int, default=8)
+    p.add_argument("--resets", type=int, default=10)
+    p.add_argument("--restarts", type=int, default=5)
+    p.add_argument("--fitted-scale", action="store_true")
+    args = p.parse_args()
+    if args.phase in ("collect", "all"):
+        collect(args.scenes)
+    if args.phase in ("fit", "all"):
+        fit()
+    if args.phase in ("sweep", "all"):
+        sweep(args.resets, args.restarts, args.fitted_scale)
+
+
+if __name__ == "__main__":
+    main()

@@ -4,6 +4,7 @@ hyperparameter NLL gradients, rendering, and the sweep-grid builder."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ppi_tpu.algorithms import make_solver
 from ppi_tpu.envs.classic import Pendulum
@@ -105,6 +106,49 @@ class TestGoalSuccessRunner:
         import json
 
         json.dumps(summary)  # JSON-serializable end to end
+
+    def test_goal_sweep_fitted_prior_override(self, tmp_path):
+        """overrides['model_selection'] builds the policy prior from a
+        fitted artifact (the run_mpc --model-selection path for sweeps;
+        studies/hammer_expert_prior.py): the fitted lengthscale lands in
+        the serialized config and changes the episode outcomes."""
+        import jax.numpy as jnp
+
+        from ppi_tpu.model_selection import (
+            default_kernels, save_model_selection, select_model)
+        from ppi_tpu.runners import goal_success as gs
+
+        # smooth synthetic "expert" windows for fetch-push's 4-d actions
+        t = np.arange(400) * 0.05
+        acts = 0.3 * np.stack([np.sin(0.9 * t), np.cos(0.6 * t),
+                               np.sin(0.4 * t + 1.0), np.cos(1.2 * t)],
+                              axis=1)
+        kernels = {"SquaredExponentialKernel":
+                   default_kernels(0.05)["SquaredExponentialKernel"]}
+        payload = select_model(acts.astype(np.float32), 5, kernels,
+                               t=0.05 * np.arange(5))
+        path = tmp_path / "ms.npz"
+        save_model_selection(path, payload)
+
+        base_cfg = dict(alg="Lbps", policy="SquaredExponentialKernel",
+                        delta=0.9, timesteps=3, horizon=5, n_samples=8)
+        plain = gs.run("fetch-push", resets=2, warmstart=1,
+                       overrides=dict(base_cfg))
+        fitted = gs.run("fetch-push", resets=2, warmstart=1,
+                        overrides=dict(base_cfg,
+                                       model_selection=str(path)))
+        fitted_ls = float(payload["SquaredExponentialKernel"]["param"][1])
+        assert fitted["config"]["lengthscale"] == pytest.approx(fitted_ls)
+        rets_p = [e["return"] for e in plain["episodes"]]
+        rets_f = [e["return"] for e in fitted["episodes"]]
+        assert rets_p != rets_f  # the prior actually changed the sweep
+        # fitted-scale mode keeps the expert's absolute variance and
+        # differs from the box-rescaled default
+        scaled = gs.run("fetch-push", resets=2, warmstart=1,
+                        overrides=dict(base_cfg,
+                                       model_selection=str(path),
+                                       ms_fitted_scale=True))
+        assert [e["return"] for e in scaled["episodes"]] != rets_f
 
     def test_goal_sweep_restarts_axis(self):
         """--restarts K: every restart of a task faces the identical
