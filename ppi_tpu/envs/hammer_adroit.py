@@ -52,12 +52,20 @@ from ppi_tpu.envs.physics.engine import HINGE, SLIDE
  HAM_X, HAM_Z, HAM_P, NAIL) = range(25)
 
 N_ACT = 21
-L1, L2 = 0.05, 0.045
+# longer digits than the door/relocate hands: the transverse power wrap
+# must pass BELOW the handle centreline (handle hangs palm_r + handle_r
+# = 0.038 m under the palm plate). With the 0.05/0.045 links the
+# under-pass bottomed out ~0.006 m below the plate — the "cage" never
+# encircled the handle (measured; the grasp was friction-only and shed
+# the hammer under any arm acceleration). 0.07/0.06 links at MCP -0.9 /
+# PIP -1.9 put the crossbar 0.043 m under the plate: a true geometric
+# cage.
+L1, L2 = 0.07, 0.06
 
 # digits point down from the palm plate; fingers on +y curl toward -y
 # (negative MCP/PIP about +x with direction -z), the thumb opposes
-_FING = dict(abd=(-0.25, 0.25), mcp=(-1.6, 0.4), pip=(-1.8, 0.0))
-_THUMB = dict(abd=(-0.35, 0.35), mcp=(-0.4, 1.6), pip=(0.0, 1.8))
+_FING = dict(abd=(-0.25, 0.25), mcp=(-1.6, 0.4), pip=(-2.0, 0.0))
+_THUMB = dict(abd=(-0.35, 0.35), mcp=(-0.4, 1.6), pip=(0.0, 2.0))
 
 _LOW = ((-1.5, -1.2, -2.0, -2.0, -1.0, -0.6)
         + (_FING["abd"][0], _FING["mcp"][0], _FING["pip"][0]) * 4
@@ -104,8 +112,13 @@ def _build_model():
                armature=0.02, q_limit=(_LOW[DEV], _HIGH[DEV]), limit_k=30.0)
     # --- five down-pointing digits on the palm plate ---
     down = (0.0, 0.0, -1.0)
+    # heavier reflected digit inertia (armature) than the door/relocate
+    # digits: it stabilizes the 50 Hz PD at the stiffer grip gains the
+    # power wrap needs to survive press-drive loads (the Adroit tendon
+    # transmission's reflected inertia plays the same role)
     cfg = dict(abd_axis=(0, 1, 0), curl_axis=(1, 0, 0), link1=L1, link2=L2,
-               direction=down, damping1=0.3, damping2=0.25, limit_k=30.0)
+               direction=down, damping1=0.35, damping2=0.3, limit_k=30.0,
+               armature1=0.06, armature2=0.045)
     for x in _FINGER_X:
         add_digit3(b, DEV, (x, _KNUCKLE_Y, 0.0), abd_limits=_FING["abd"],
                    mcp_limits=_FING["mcp"], pip_limits=_FING["pip"], **cfg)
@@ -125,13 +138,18 @@ def _build_model():
                q_limit=(0.0, NAIL_DEPTH + 0.01), limit_k=8e3)
 
     # geoms
-    palm = b.add_sphere(DEV, (0.12, 0.0, 0.0), 0.028)
+    palm = b.add_sphere(DEV, (0.12, 0.0, 0.0), 0.018)
     digit_geoms = []
     for mcp, pip in ((FF_MCP, FF_PIP), (MF_MCP, MF_PIP), (RF_MCP, RF_PIP),
                      (LF_MCP, LF_PIP), (TH_MCP, TH_PIP)):
         prox = b.add_sphere(mcp, tuple(L1 * 0.6 * np.asarray(down)), 0.016)
+        # knee sphere just past the PIP joint: at full wrap this is the
+        # lowest point of the hook — the surface that passes UNDER the
+        # handle and carries its weight (without it the cage had no
+        # under-side collision geometry)
+        knee = b.add_sphere(pip, tuple(L2 * 0.2 * np.asarray(down)), 0.016)
         tip = b.add_sphere(pip, tuple(L2 * np.asarray(down)), 0.016)
-        digit_geoms += [prox, tip]
+        digit_geoms += [prox, knee, tip]
     grip_a = b.add_sphere(HAM_P, (-0.10, 0, 0), 0.020)
     grip_b = b.add_sphere(HAM_P, (0.08, 0, 0), 0.020)
     head = b.add_sphere(HAM_P, HEAD_LOCAL, 0.045)
@@ -146,7 +164,7 @@ def _build_model():
     # axial retention by shape: the head swell catches the palm / the
     # index finger if the handle recoils through the grip at impact
     b.add_contact_sphere_sphere(head, palm)
-    b.add_contact_sphere_sphere(head, digit_geoms[1])  # FF tip
+    b.add_contact_sphere_sphere(head, digit_geoms[2])  # FF tip
     # strike contact + resting contacts
     b.add_contact_sphere_segment(head, nail_a, nail_b)
     for s in (grip_a, grip_b, head, palm):
@@ -179,10 +197,14 @@ class HammerAdroit:
     kd: float = 9.0
     kp_wrist: float = 20.0
     kd_wrist: float = 1.6
-    kp_digit: float = 5.0
-    kd_digit: float = 0.4
-    kp_thumb: float = 10.0  # the thumb opposes four fingers
-    kd_thumb: float = 0.8
+    # grip servos run stiffer than the door/relocate digits (stable at
+    # the 50 Hz PD because the digits carry raised reflected inertia —
+    # see _build_model): the power wrap must hold the 0.45 kg hammer
+    # through carry and press-drive loads
+    kp_digit: float = 12.0
+    kd_digit: float = 1.0
+    kp_thumb: float = 24.0  # the thumb opposes four fingers
+    kd_thumb: float = 2.0
     kp_abd: float = 3.0
     kd_abd: float = 0.3
     engine: str = "stacked"  # 25-DoF scene: stacked-assembly path only
@@ -359,3 +381,228 @@ class HammerAdroit:
     def lifted(self, state):
         """Hammer held off the bench (the grasp mechanic proof)."""
         return state.physics.qpos[HAM_Z] > 0.03
+
+
+# ---------------------------------------------------------------------------
+# scripted expert (feasibility oracle + render demo + prior demos)
+# ---------------------------------------------------------------------------
+
+def _ik_palm(env, state, target_pt, q_init, iters=500, lr=0.02,
+             level_weight=0.05):
+    """Gradient IK for the palm over the 4 arm joints (wrist + digits
+    held) — the hammer_hand oracle's helper on the 21-DoF action space;
+    FK through the episode's sampled board."""
+    lo = jnp.array(_LOW)
+    hi = jnp.array(_HIGH)
+    rest = q_init[4:]
+
+    def obj(qa4):
+        qfull = jnp.concatenate([qa4, rest, state.physics.qpos[N_ACT:]])
+        p = env._sites_soa(qfull, state.board)[env._palm_geom]
+        lvl = (qa4[1] + qa4[2] + qa4[3]) ** 2
+        return jnp.sum((p - target_pt) ** 2) + level_weight * lvl
+
+    g = jax.jit(jax.grad(obj))
+    qa = q_init[:4]
+    for _ in range(iters):
+        qa = jnp.clip(qa - lr * g(qa), lo[:4], hi[:4])
+    return jnp.concatenate([qa, rest])
+
+
+def _grip(cmd, mcp, pip=None):
+    """Set all five digits to a transverse power-wrap command: MCP takes
+    the L1 link down-and-across, the deeper PIP hooks the L2 link under
+    the handle and back up; the thumb opposes with the mirrored signs."""
+    pip = mcp if pip is None else pip
+    for i in range(4):
+        base = 6 + 3 * i
+        cmd = cmd.at[base + 1].set(-mcp).at[base + 2].set(-pip)
+    return cmd.at[19].set(mcp).at[20].set(pip)
+
+
+def scripted_hammer_adroit(env, state0=None, log=None, max_swings=22,
+                           frames=None, actions=None):
+    """Five-digit power-grip tool use: descend the palm onto the resting
+    hammer handle, wrap the four fingers transversely under the handle
+    with the thumb opposing, lift, carry to the sampled board, and drive
+    the nail with arc swings (stall-driven re-hover).
+
+    The feasibility oracle for this embodiment — the analogue of
+    ``hammer_hand.scripted_hammer`` (itself the analogue of the
+    reference's scripted __main__ smoke tests, ball_in_a_cup.py:664-699)
+    — proving the transverse five-digit cage can acquire, hold and swing
+    the free hammer through penalty-friction contacts alone.
+    """
+    lo = jnp.array(_LOW)
+    hi = jnp.array(_HIGH)
+    state = env.reset(jax.random.key(0)) if state0 is None else state0
+
+    def run_scan(s, tgt, n):
+        def body(st, _):
+            st, _r = env.step(st, tgt)
+            return st, st.physics.qpos
+        return jax.lax.scan(body, s, None, length=n)
+
+    run_scan = jax.jit(run_scan, static_argnums=2)
+
+    def run(s, tgt, n):
+        tgt = jnp.clip(tgt, lo, hi)
+        s, qh = run_scan(s, tgt, n)
+        if frames is not None:
+            frames.append(np.asarray(qh))
+        if actions is not None:
+            actions.append(np.repeat(np.asarray(tgt)[None], n, axis=0))
+        return s
+
+    def servo(s, tgt, rounds=2, n=30):
+        cmd = tgt
+        for _ in range(rounds):
+            s = run(s, cmd, n)
+            cmd = cmd + (tgt - s.physics.qpos[:N_ACT])
+        return s, cmd
+
+    def note(msg):
+        if log:
+            log(msg)
+
+    # settle, then descend the palm to hover just above the handle top
+    hold = state.physics.qpos[:N_ACT]
+    state = run(state, hold, 50)
+    state, cmd = servo(state, jnp.asarray(hold).at[1].add(0.30))
+    note(f"descended: ham_z={float(state.physics.qpos[HAM_Z]):.3f} "
+         f"palm={np.round(np.asarray(env._sites(state.physics.qpos, state.board)[0]), 3)}")
+
+    # power wrap: pre-shape half-curl, descend a little more, full wrap
+    # (MCP shallow so L1 reaches down, PIP deep so L2 hooks under)
+    pre = _grip(cmd, 0.5, 0.9)
+    state = run(state, pre, 40)
+    closed = _grip(cmd, 0.9, 1.9).at[1].add(0.08)
+    state = run(state, closed, 60)
+    note(f"caged: ff=({float(state.physics.qpos[FF_MCP]):.2f},"
+         f"{float(state.physics.qpos[FF_PIP]):.2f}) "
+         f"th=({float(state.physics.qpos[TH_MCP]):.2f},"
+         f"{float(state.physics.qpos[TH_PIP]):.2f})")
+
+    # gradual lift holding the wrap
+    base = jnp.clip(closed, lo, hi)
+    for dlt in np.linspace(0.0, -0.5, 12):
+        state = run(state, base.at[1].add(float(dlt)), 10)
+    lift = base.at[1].add(-0.5)
+    state = run(state, lift, 30)
+    note(f"lifted: ham_z={float(state.physics.qpos[HAM_Z]):.3f}")
+
+    # two-stage carry: high waypoint above the nail, then descend to the
+    # strike hover (hammer_hand's raised-board-safe trajectory). The
+    # transverse wrap cages y/z but lets the handle slide AXIALLY during
+    # lift (no aft backstop, unlike the two-finger cradle) — so the IK
+    # target is HEAD-corrected: aim the palm where the MEASURED in-grip
+    # palm->head offset puts the head over the nail.
+    def palm_target_for_head(s, head_target):
+        palm, _, head, _ = env._sites(s.physics.qpos, s.board)
+        tgt = head_target - (head - palm)
+        # clamp into the arm's sane workspace: after a drop the stale
+        # palm->head offset would otherwise send the IK (and then the
+        # digits) through the bench — the engine divergence seen as NaNs
+        return jnp.clip(tgt,
+                        jnp.asarray([0.30, -0.20, BENCH_Z + 0.08]),
+                        jnp.asarray([0.85, 0.20, BENCH_Z + 0.55]))
+
+    high = _ik_palm(env, state,
+                    palm_target_for_head(
+                        state, state.board + jnp.asarray([0.0, 0.0, 0.32])),
+                    jnp.clip(lift, lo, hi))
+    start = jnp.clip(lift, lo, hi)
+    for alpha in np.linspace(0.0, 1.0, 18):
+        state = run(state, start + float(alpha) * (high - start), 6)
+    carry = _ik_palm(env, state,
+                     palm_target_for_head(
+                         state, state.board + jnp.asarray([0.0, 0.0, 0.20])),
+                     jnp.clip(high, lo, hi))
+    for alpha in np.linspace(0.0, 1.0, 12):
+        state = run(state, high + float(alpha) * (carry - high), 6)
+    carry_cmd = carry
+    state = run(state, carry_cmd, 30)
+    note(f"carried: nail={float(state.physics.qpos[NAIL]):.4f} "
+         f"ham_z={float(state.physics.qpos[HAM_Z]):.3f}")
+
+    # press-drive cycles instead of the hand-env's horizontal arcs: the
+    # transverse wrap has no AFT axial stop, so wide swings fling the
+    # handle out on the back swing (measured — the first arc drops the
+    # hammer every time). The nail's resistance is a DRY-FRICTION bound
+    # (friction_loss = 16 N) + damping, not an energy barrier, so a
+    # sustained press of the head past the bound drives it just as the
+    # impact train does: hover the head over the nail, press down to an
+    # overlapping target (the arm PD converts the position error into
+    # force), relieve, re-aim 1 cm deeper, repeat.
+    r_overlap = 0.045 + 0.018  # head + nail sphere contact distance
+
+    # lateral alignment pass BEFORE any press: servo the head over the
+    # nail at a safe hover height (integral aim on the measured head
+    # error — the handle's axial slide in the wrap makes any open-loop
+    # target chronically short), so the press force lands on the nail
+    # instead of slamming the missed hammer into the bench
+    def glide(s, frm, to, segs=10, n=5):
+        """Interpolate the command — step retargets jerk the arm and shed
+        the caged hammer; every retarget from here on glides."""
+        for alpha in np.linspace(1.0 / segs, 1.0, segs):
+            s = run(s, frm + float(alpha) * (to - frm), n)
+        return s
+
+    aim = jnp.zeros(2)
+    nail_top = 0.060
+    prev = jnp.clip(carry_cmd, lo, hi)
+    last_err = None
+    for k in range(4):
+        hover_tgt = jnp.concatenate([
+            aim, jnp.asarray([nail_top + r_overlap + 0.02])])
+        carry_cmd = _ik_palm(env, state,
+                             palm_target_for_head(state, state.board
+                                                  + hover_tgt),
+                             prev, level_weight=0.005)
+        state = glide(state, prev, jnp.clip(carry_cmd, lo, hi))
+        prev = jnp.clip(carry_cmd, lo, hi)
+        _, _, head_m, nail_m = env._sites(state.physics.qpos, state.board)
+        err = (nail_m + jnp.asarray([0.0, 0.0, r_overlap + 0.02])
+               - head_m)[:2]
+        note(f"align {k}: err={np.round(np.asarray(err), 3)} ham_z="
+             f"{float(state.physics.qpos[HAM_Z]):.3f}")
+        if last_err is not None and \
+                float(jnp.linalg.norm(err)) > 0.8 * last_err:
+            # reach saturation: more integral wind-up only drags the arm
+            # across its envelope and sheds the hammer
+            break
+        last_err = float(jnp.linalg.norm(err))
+        aim = jnp.clip(aim + 0.7 * err, -0.3, 0.3)
+
+    for k in range(max_swings):
+        depth = float(state.physics.qpos[NAIL])
+        nail_top = 0.060 - depth
+        press_tgt = jnp.concatenate([
+            aim, jnp.asarray([nail_top + r_overlap - 0.015])])
+        press = jnp.clip(_ik_palm(env, state,
+                                  palm_target_for_head(state, state.board
+                                                       + press_tgt),
+                                  prev, level_weight=0.005), lo, hi)
+        state = glide(state, prev, press, segs=8, n=4)
+        state = run(state, press, 25)
+        _, _, head_m, nail_m = env._sites(state.physics.qpos, state.board)
+        aim = jnp.clip(aim + 0.5 * (nail_m - head_m)[:2], -0.3, 0.3)
+        relief = press.at[2].add(-0.06)
+        state = glide(state, press, relief, segs=4, n=4)
+        prev = relief
+        carry_cmd = press
+        depth = float(state.physics.qpos[NAIL])
+        _, _, head, nail = env._sites(state.physics.qpos, state.board)
+        note(f"press {k}: nail={depth:.4f} ham_z="
+             f"{float(state.physics.qpos[HAM_Z]):.3f} head="
+             f"{np.round(np.asarray(head), 3)} tgt="
+             f"{np.round(np.asarray(nail), 3)}")
+        if depth > 0.95 * NAIL_DEPTH:
+            break
+    q = state.physics.qpos
+    return state, {
+        "nail": float(q[NAIL]),
+        "success": bool(env.success(state)),
+        "ham_z_final": float(q[HAM_Z]),
+        "hammer_x": float(q[HAM_X]),
+    }

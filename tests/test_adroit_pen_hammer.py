@@ -105,6 +105,31 @@ class TestHammerAdroit:
         # 11 handle pairs + head-nail strike pair
         assert len(env._model.pair_sphere_segment) >= 12
 
+    def test_digit_cage_passes_under_handle(self):
+        """The r5 geometry fix: at the full power wrap (MCP -0.9 /
+        PIP -1.9) the finger KNEE spheres reach below the handle
+        centreline (palm_r + handle_r = 0.038 under the plate) — the
+        cage is geometric, not friction-only (the pre-fix 0.05/0.045
+        digits bottomed out ~0.006 under the plate and shed the hammer
+        under any arm acceleration)."""
+        env = HammerAdroit(engine="tensor", fixed_scene=True)
+        from ppi_tpu.envs.hammer_adroit import _grip
+        s0 = env.reset(jax.random.key(0))
+        cmd = _grip(s0.physics.qpos[:HAM_N_ACT], 0.9, 1.9)
+        qpos = s0.physics.qpos.at[:HAM_N_ACT].set(
+            jnp.clip(cmd, env.action_low, env.action_high))
+        pts = env._sites_soa(qpos, s0.board)
+        import numpy as np
+        palm = np.asarray(pts[env._palm_geom])
+        # knee spheres are digit geom indices 1, 4, 7, 10 (per-finger
+        # [prox, knee, tip] triples; thumb at 13)
+        knees = np.stack([np.asarray(pts[env._digit_geoms[i]])
+                          for i in (1, 4, 7, 10)])
+        handle_center_z = palm[2] - 0.018 - 0.020  # palm_r + handle_r
+        r_knee = 0.016
+        assert (knees[:, 2] - r_knee < handle_center_z).all(), (
+            knees[:, 2], handle_center_z)
+
     def test_knockaway_gate_prices_stray_grip(self):
         """A hammer batted outside the reachable annulus costs
         knockaway_penalty per metre (the grasp-integrity gate)."""
@@ -145,3 +170,26 @@ class TestStackedTensorAgreement:
                                    rtol=1e-3, atol=1e-3)
         np.testing.assert_allclose(np.asarray(rew_s), np.asarray(rew_t),
                                    rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.slow
+class TestHammerAdroitOracle:
+    """Feasibility oracle for the five-digit power wrap (r5): cage the
+    free hammer, lift, carry to the board, and seat the nail by
+    press-drive (the nail's resistance is a dry-friction bound, so a
+    sustained head press drives it; wide arcs shed the aft-stop-less
+    wrap — measured across 10+ scripted variants). Pinned to the
+    canonical scene; the raised-board regime stays MPC's distribution
+    claim, as for hammer_hand's oracle."""
+
+    def test_scripted_power_grip_seats_nail(self):
+        from ppi_tpu.envs.hammer_adroit import scripted_hammer_adroit
+        from ppi_tpu.envs.hammer_hand import NAIL_DEPTH
+        env = HammerAdroit(engine="tensor", fixed_scene=True)
+        msgs = []
+        state, info = scripted_hammer_adroit(env, log=msgs.append)
+        assert info["success"], (info, msgs)
+        assert info["nail"] > 0.95 * NAIL_DEPTH
+        # the carry phase must actually hold the hammer aloft
+        assert any("carried" in m and float(m.split("ham_z=")[1]) > 0.1
+                   for m in msgs), msgs
