@@ -96,5 +96,17 @@ restarts:
 profile:
 	$(PY) -m ppi_tpu.runners.profile_mpc --env humanoid-standup
 
+# dm_control full-range reset-distribution parity measurement (r5)
+reset-parity:
+	$(PY) -m studies.reset_parity --resets 10 --out results/reset_parity.json
+
+# expert-prior pipeline for the hammer knife edge (r5): scripted-oracle
+# demos (tensor engine, the oracle-certified fp path) -> MN/kernel fit ->
+# fitted-prior goal sweep
+hammer-prior:
+	$(PY) -m studies.hammer_expert_prior --phase collect --platform cpu
+	$(PY) -m studies.hammer_expert_prior --phase fit --platform cpu
+	$(PY) -m studies.hammer_expert_prior --phase sweep
+
 native:
 	$(MAKE) -C native

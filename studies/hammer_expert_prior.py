@@ -32,12 +32,18 @@ HORIZON = 30
 STRIDE = 5
 
 
-def collect(scenes: int):
+def collect(scenes: int, engine: str = "tensor"):
+    """Collect demos with the TENSOR engine by default: the scripted
+    oracle's nail-seating is certified on that fp path (RESULTS.md r2-r4
+    hammer studies); the soa/TPU path falls a few mm short on the same
+    scenes (the recorded fp-path-dependence). The ACTION sequences are
+    what the prior is fitted to, so the oracle-certified path is the
+    right demo source regardless of the sweep's engine."""
     import jax
 
     from ppi_tpu.envs.hammer_hand import HammerHand, scripted_hammer
 
-    env = HammerHand()
+    env = HammerHand(engine=engine)
     demos, infos = [], []
     for k in range(scenes):
         acts = []
@@ -75,6 +81,14 @@ def fit():
         for s in range(0, d.shape[0] - HORIZON + 1, STRIDE):
             windows.append(d[s:s + HORIZON])
     windows = np.stack(windows)
+    # observation-noise floor: the scripted targets hold some dims
+    # exactly constant (yaw never moves), which makes the MN flip-flop
+    # singular (measured: NaN moments). The demos are quantized
+    # piecewise-constant targets anyway; a 1e-3 dither is far below the
+    # actuator scale and the sweep box-rescales cov_out afterwards.
+    rng = np.random.default_rng(0)
+    windows = windows + 1e-3 * rng.standard_normal(windows.shape).astype(
+        windows.dtype)
     print(f"[fit] {windows.shape[0]} windows of H={HORIZON} from "
           f"{len(data.files)} demos")
     dt = HammerHand().dt
@@ -111,12 +125,20 @@ def main():
     p.add_argument("--phase", choices=["collect", "fit", "sweep", "all"],
                    default="all")
     p.add_argument("--scenes", type=int, default=8)
+    p.add_argument("--engine", default="tensor",
+                   help="demo-collection engine (tensor = the oracle-"
+                        "certified fp path)")
+    p.add_argument("--platform", default=None,
+                   help="force a JAX platform (e.g. cpu) before first use")
     p.add_argument("--resets", type=int, default=10)
     p.add_argument("--restarts", type=int, default=5)
     p.add_argument("--fitted-scale", action="store_true")
     args = p.parse_args()
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
     if args.phase in ("collect", "all"):
-        collect(args.scenes)
+        collect(args.scenes, engine=args.engine)
     if args.phase in ("fit", "all"):
         fit()
     if args.phase in ("sweep", "all"):
