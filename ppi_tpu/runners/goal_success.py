@@ -135,6 +135,8 @@ def build_canonical_agent(env_name, cfg):
         if param.shape[0] > 1:
             ls = float(param[1])
             cfg["lengthscale"] = ls
+        if param.shape[0] > 2:
+            cfg["period"] = float(param[2])
         if not cfg.get("ms_fitted_scale", False):
             design_var = 0.25 * (env.action_high - env.action_low) ** 2
             fitted_var = cov_in[0] * jnp.diagonal(cov_out)
@@ -144,6 +146,7 @@ def build_canonical_agent(env_name, cfg):
         cfg["policy"], env.dt * jnp.arange(cfg["horizon"]), env.action_dim,
         mean, cov_in, cov_out,
         lengthscale=ls, beta=cfg.get("beta", 2.0),
+        period=cfg.get("period", 1.0),
         lower=env.action_low, upper=env.action_high)
     solver = make_solver(cfg["alg"], alpha=cfg.get("alpha", 10.0),
                          delta=cfg.get("delta", 0.9),
