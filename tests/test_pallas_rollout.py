@@ -181,9 +181,6 @@ class TestRewardConsts:
                                        scale * np.asarray(rew_ref) + cx,
                                        rtol=1e-5, atol=1e-5)
 
-    @pytest.mark.skipif(INTERPRET, reason="11-13 DoF scalar-SoA kernels "
-                        "compile in minutes on CPU; device-validated "
-                        "(make perf / PPI_TPU_TEST_PLATFORM=axon)")
     @pytest.mark.skipif(INTERPRET, reason="23-24 DoF scalar-SoA kernels: "
                         "~1 min Mosaic compile, device-validated "
                         "(make perf / PPI_TPU_TEST_PLATFORM=axon)")
@@ -209,6 +206,12 @@ class TestRewardConsts:
             (acts))
         np.testing.assert_allclose(c_pal, c_ref, rtol=1e-3, atol=1e-3)
 
+    @pytest.mark.skipif(INTERPRET, reason="10-13 DoF scalar-SoA kernels "
+                        "compile for tens of minutes on CPU (this guard "
+                        "was misplaced onto the adroit test in r4 — the "
+                        "full suite deterministically stalled here); "
+                        "device-validated (make perf / "
+                        "PPI_TPU_TEST_PLATFORM=axon)")
     @pytest.mark.parametrize("env_name", ["pen-v0-hand", "relocate-v0-hand"])
     def test_hand_env_kernels_match_oracle_on_device(self, env_name):
         from ppi_tpu.envs.base import mpc_objective
