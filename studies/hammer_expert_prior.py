@@ -27,12 +27,32 @@ from pathlib import Path
 
 import numpy as np
 
-OUTDIR = Path("results/hammer_prior")
 HORIZON = 30
 STRIDE = 5
 
 
-def collect(scenes: int, engine: str = "tensor"):
+def _env_and_oracle(env_name, engine):
+    if env_name == "hammer-v0-hand":
+        from ppi_tpu.envs.hammer_hand import HammerHand, scripted_hammer
+        return HammerHand(engine=engine), scripted_hammer
+    if env_name == "hammer-v0-adroit":
+        from ppi_tpu.envs.hammer_adroit import (
+            HammerAdroit, scripted_hammer_adroit)
+        # the adroit oracle is certified on the canonical scene only
+        # (raised boards stall at the arm's reach envelope — RESULTS.md)
+        return (HammerAdroit(engine=engine, fixed_scene=True),
+                scripted_hammer_adroit)
+    raise SystemExit(f"no oracle wired for {env_name}")
+
+
+def _outdir(env_name):
+    return Path("results/hammer_prior"
+                if env_name == "hammer-v0-hand"
+                else f"results/hammer_prior_{env_name.split('-')[-1]}")
+
+
+def collect(scenes: int, engine: str = "tensor",
+            env_name: str = "hammer-v0-hand"):
     """Collect demos with the TENSOR engine by default: the scripted
     oracle's nail-seating is certified on that fp path (RESULTS.md r2-r4
     hammer studies); the soa/TPU path falls a few mm short on the same
@@ -41,15 +61,14 @@ def collect(scenes: int, engine: str = "tensor"):
     right demo source regardless of the sweep's engine."""
     import jax
 
-    from ppi_tpu.envs.hammer_hand import HammerHand, scripted_hammer
-
-    env = HammerHand(engine=engine)
+    OUTDIR = _outdir(env_name)
+    env, oracle = _env_and_oracle(env_name, engine)
     demos, infos = [], []
     for k in range(scenes):
         acts = []
         t0 = time.time()
         state0 = env.reset(jax.random.key(k))
-        _, info = scripted_hammer(env, state0=state0, actions=acts)
+        _, info = oracle(env, state0=state0, actions=acts)
         a = np.concatenate(acts, axis=0)
         info.update(scene_key=k, steps=int(a.shape[0]),
                     board_z=float(np.asarray(state0.board)[2]),
@@ -69,11 +88,12 @@ def collect(scenes: int, engine: str = "tensor"):
     return demos
 
 
-def fit():
+def fit(env_name: str = "hammer-v0-hand"):
     from ppi_tpu.envs.hammer_hand import HammerHand
     from ppi_tpu.model_selection import (
         default_kernels, save_model_selection, select_model)
 
+    OUTDIR = _outdir(env_name)
     data = np.load(OUTDIR / "demos.npz")
     windows = []
     for name in data.files:
@@ -103,13 +123,20 @@ def fit():
     print(f"[fit] wrote {OUTDIR / 'model_selection.npz'}")
 
 
-def sweep(resets: int, restarts: int, fitted_scale: bool):
+def sweep(resets: int, restarts: int, fitted_scale: bool,
+          env_name: str = "hammer-v0-hand"):
     from ppi_tpu.runners.goal_success import run
 
+    OUTDIR = _outdir(env_name)
     overrides = {"model_selection": str(OUTDIR / "model_selection.npz")}
+    if env_name.endswith("adroit"):
+        # the 25-DoF XLA-scan sweep shape reproducibly kills the TPU
+        # worker at vmap x T=400 (RESULTS.md); the megakernel is the
+        # certified recorded path
+        overrides["use_pallas"] = True
     if fitted_scale:
         overrides["ms_fitted_scale"] = True
-    summary = run("hammer-v0-hand", resets, overrides=overrides,
+    summary = run(env_name, resets, overrides=overrides,
                   restarts=restarts)
     summary["prior"] = "expert_ms" + ("_fittedscale" if fitted_scale else "")
     out = OUTDIR / f"sweep{'_fittedscale' if fitted_scale else ''}.json"
@@ -133,16 +160,19 @@ def main():
     p.add_argument("--resets", type=int, default=10)
     p.add_argument("--restarts", type=int, default=5)
     p.add_argument("--fitted-scale", action="store_true")
+    p.add_argument("--env", default="hammer-v0-hand",
+                   choices=["hammer-v0-hand", "hammer-v0-adroit"])
     args = p.parse_args()
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
     if args.phase in ("collect", "all"):
-        collect(args.scenes, engine=args.engine)
+        collect(args.scenes, engine=args.engine, env_name=args.env)
     if args.phase in ("fit", "all"):
-        fit()
+        fit(env_name=args.env)
     if args.phase in ("sweep", "all"):
-        sweep(args.resets, args.restarts, args.fitted_scale)
+        sweep(args.resets, args.restarts, args.fitted_scale,
+              env_name=args.env)
 
 
 if __name__ == "__main__":
