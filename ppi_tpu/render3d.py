@@ -254,6 +254,19 @@ def _rays(camera: Camera):
 def _render_traj(model, qpos_traj, dyn_pos_traj, link_pairs, sphere_colors,
                  link_color, camera, link_radius, light, ambient, bg,
                  checker, dyn_body, floor):
+    # TPU default bf16 matmuls scramble the FK rotation chains (same
+    # reason the physics engine binds highest precision) — a device-
+    # rendered frame shows the geometry as dithered speckle without this
+    with jax.default_matmul_precision("highest"):
+        return _render_traj_impl(
+            model, qpos_traj, dyn_pos_traj, link_pairs, sphere_colors,
+            link_color, camera, link_radius, light, ambient, bg, checker,
+            dyn_body, floor)
+
+
+def _render_traj_impl(model, qpos_traj, dyn_pos_traj, link_pairs,
+                      sphere_colors, link_color, camera, link_radius, light,
+                      ambient, bg, checker, dyn_body, floor):
     ro, rds = _rays(camera)
     light_n = light / jnp.linalg.norm(light)
     consts = (light_n, ambient, bg, checker)
